@@ -1,0 +1,137 @@
+"""Buffer store disk serialization — checkpoint/resume parity.
+
+Reference: ``FileDirectory``/``FileObject``/``BinaryIO``/``PipelineSerdeManager``
+(/root/reference/Pipeline/PipelineState/PipelineSerialization.cs:15-236).
+
+Layout parity: a save root ``save__{name}_{version}/`` containing
+``data/{buffer}.data`` raw little-endian dumps plus a ``files.json``
+manifest mapping buffer name → file + element count/dtype/shape (the
+reference stores element counts per container type; we also record shape
+and dtype since our arrays are typed).
+
+A C++ fast path (noize_tpu/native/serde.cpp) provides zero-copy mmap'd
+reads/writes for large buffers when built; this module transparently falls
+back to NumPy IO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+MANIFEST = "files.json"
+
+
+def _native():
+    try:
+        from ..native import serde_native  # built lazily; optional
+
+        return serde_native
+    except Exception:
+        return None
+
+
+@dataclass
+class FileObject:
+    """PipelineSerialization.cs:98-126 analog."""
+
+    file_name: str
+    count: int
+    dtype: str
+    shape: tuple
+
+
+class FileDirectory:
+    """The files.json manifest (PipelineSerialization.cs:15-96)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.entries: Dict[str, FileObject] = {}
+        self._load()
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def _load(self):
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as fh:
+                raw = json.load(fh)
+            self.entries = {
+                k: FileObject(v["fileName"], v["count"], v["dtype"], tuple(v["shape"]))
+                for k, v in raw.items()
+            }
+
+    def flush(self):
+        os.makedirs(self.root, exist_ok=True)
+        with open(self.manifest_path, "w") as fh:
+            json.dump(
+                {
+                    k: {
+                        "fileName": v.file_name,
+                        "count": v.count,
+                        "dtype": v.dtype,
+                        "shape": list(v.shape),
+                    }
+                    for k, v in self.entries.items()
+                },
+                fh,
+                indent=1,
+            )
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.entries
+
+
+class SerdeManager:
+    """PipelineSerdeManager analog: dump/restore named buffers under a save
+    root ``save__{alias}`` (PipelineStateManager.SetSavePath composes the
+    alias from name+version — PipelineStateManager.cs:18-20)."""
+
+    def __init__(self, base_dir: str, save_name: str = "default", version: str = "0"):
+        self.root = os.path.join(base_dir, f"save__{save_name}_{version}")
+        self.data_dir = os.path.join(self.root, "data")
+        self.directory = FileDirectory(self.root)
+
+    def _path_for(self, name: str) -> str:
+        safe = name.replace("/", "_")
+        return os.path.join(self.data_dir, f"{safe}.data")
+
+    def save(self, name: str, array: np.ndarray):
+        os.makedirs(self.data_dir, exist_ok=True)
+        arr = np.ascontiguousarray(array)
+        path = self._path_for(name)
+        nat = _native()
+        if nat is not None:
+            nat.write_file(path, arr)
+        else:
+            arr.tofile(path)
+        self.directory.entries[name] = FileObject(
+            os.path.basename(path), arr.size, str(arr.dtype), arr.shape
+        )
+        self.directory.flush()
+
+    def exists(self, name: str) -> bool:
+        return name in self.directory and os.path.exists(self._path_for(name))
+
+    def load(self, name: str) -> Optional[np.ndarray]:
+        """Restore a buffer; None if absent (GetBuffer auto-restore hook —
+        PipelineStateManager.cs:63-71)."""
+        if not self.exists(name):
+            return None
+        fo = self.directory.entries[name]
+        path = self._path_for(name)
+        nat = _native()
+        if nat is not None:
+            flat = nat.read_file(path, fo.dtype)
+        else:
+            flat = np.fromfile(path, dtype=np.dtype(fo.dtype))
+        if flat.size != fo.count:
+            raise IOError(
+                f"corrupt checkpoint for {name!r}: {flat.size} != {fo.count}"
+            )
+        return flat.reshape(fo.shape)

@@ -1,0 +1,284 @@
+"""Beyer droplet particles — vectorized simultaneous descent.
+
+Reference: ``BeyerParticle.DescendSimultaneous``
+(/root/reference/Geologic/ParticleErosion/LiveErosionDataTypes.cs:205-434),
+``NeighborhoodHelper`` (:130-203), ``Heading`` compass (:1294-1443), driven
+by ``FlowMaster.BeyerSimultaneousDescentSingle`` / the job set in
+``MultiThreadErosionJob.cs``.
+
+TPU-first design (SURVEY.md §7.5): the reference runs one worker thread per
+particle with a per-particle ``while !dead`` loop, each step appending an
+``ErosiveEvent`` into a parallel multimap that a later job reduces per cell.
+Here all N particles advance together through a ``lax.scan`` over MAXAGE
+steps with an alive mask; each step's event deltas are scatter-added
+(``.at[].add``) into three accumulator maps — the event-sourcing reduce,
+performed eagerly.  Scatter-add is commutative, so this is the same
+reduction the multimap performs, minus nondeterministic float ordering.
+
+Faithfully preserved reference semantics:
+  * neighbor heights are flow-inflated (AllHeights with
+    FLOW_HEIGHT_CONTRIBUTION) and quantized to 2 decimals via int truncation
+    (CollectNeighborsAllHeights, :705-727);
+  * 8-heading constrained steering: the particle may only turn one compass
+    step left/right per step (ChooseHeading, :182-201), with the natural
+    drain (argmin over all 8, first-wins tie-break) as fallback;
+  * death conditions and their exact payouts: dehydration (water < .01 →
+    sediment only), old age (pool + sediment), no-drain (pool + sediment),
+    slow-and-flat (θ < 3° and vel < 1 — literals, :399), out-of-bounds
+    (everything lost);
+  * drag, slope-resolved accel (Gravity·sinθ ± friction energy form),
+    terminal-velocity soft clamp (:388-395), capacity = vel·water·CAPACITY,
+    erode/deposit split (EROSION/DEPOSITION rates), evaporation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .world import NEIGHBOR_OFFSETS, WorldState
+
+_F32 = jnp.float32
+
+# Compass ring in ChooseHeading order (HeadingExt.ADJACENT,
+# LiveErosionDataTypes.cs:1320-1329): N, NE, E, SE, S, SW, W, NW.
+# Directions as (d_row, d_col): N = +row ("up"), E = +col.
+RING_DR = np.array([1, 1, 0, -1, -1, -1, 0, 1], np.int32)
+RING_DC = np.array([0, 1, 1, 1, 0, -1, -1, -1], np.int32)
+
+# ring index -> nb-array index (WTORDER order up,right,down,left,ne,se,sw,nw)
+RING_TO_NB = np.array([0, 4, 1, 5, 2, 6, 3, 7], np.int32)
+
+# nb-array index -> ring index (inverse)
+NB_TO_RING = np.array([0, 2, 4, 6, 1, 3, 5, 7], np.int32)
+
+NONE_HEADING = np.int32(-1)
+
+
+class Particles(NamedTuple):
+    """SoA particle state (BeyerParticle fields, :205-215)."""
+
+    row: Any      # f32[N] — pos second-axis of reference (z)
+    col: Any      # f32[N]
+    heading: Any  # i32[N] ring index, -1 = NONE
+    vel: Any      # f32[N]
+    water: Any    # f32[N]
+    sediment: Any  # f32[N]
+    age: Any      # i32[N]
+    alive: Any    # bool[N]
+
+
+def spawn(key, n: int, res: int, water=1.0, alive=True):
+    """FillBeyerQueueJob parity: uniform random integer positions, vel .01,
+    water 1, no heading (MultiThreadErosionJob.cs:21-71, BeyerParticle ctor
+    :226-238)."""
+    kr, kc = jax.random.split(key)
+    row = jax.random.randint(kr, (n,), 0, res).astype(_F32)
+    col = jax.random.randint(kc, (n,), 0, res).astype(_F32)
+    return Particles(
+        row=row,
+        col=col,
+        heading=jnp.full((n,), NONE_HEADING),
+        vel=jnp.full((n,), 0.01, _F32),
+        water=jnp.full((n,), water, _F32),
+        sediment=jnp.zeros((n,), _F32),
+        age=jnp.zeros((n,), jnp.int32),
+        alive=jnp.full((n,), alive),
+    )
+
+
+def _quantize(v):
+    """int(100·v)/100 — CollectNeighbors* truncation (:684,709)."""
+    return jnp.trunc(100.0 * v) / 100.0
+
+
+def _gather_neighbors(all_h, row_i, col_i, res):
+    """nb[k] = quantized all-heights of the 8 neighbors (WTORDER order),
+    with clamped indexing.  Returns f32[N, 8]."""
+    cols = []
+    for (dr, dc) in NEIGHBOR_OFFSETS:
+        r = jnp.clip(row_i + dr, 0, res - 1)
+        c = jnp.clip(col_i + dc, 0, res - 1)
+        cols.append(_quantize(all_h[r, c]))
+    return jnp.stack(cols, -1)
+
+
+def _uphill_velocity_loss(v_diff, eff_friction, gravity, patch_res):
+    """UphillVelocityLoss (:256-263) — NaN when v_diff == 0, matching the
+    reference's 0/0; callers rely on NaN-compares-false."""
+    theta = jnp.arctan(v_diff / patch_res)
+    accel = gravity * jnp.sin(theta) + eff_friction
+    return jnp.sqrt(2.0 * jnp.abs(accel) * (v_diff / jnp.sin(theta)))
+
+
+def _downhill_velocity_gain(v_diff, eff_friction, gravity, patch_res):
+    """DownhillVelocityGain (:265-271)."""
+    theta = jnp.arctan(v_diff / patch_res)
+    accel = gravity * jnp.sin(theta) - eff_friction
+    return jnp.sqrt(2.0 * jnp.abs(accel) * (v_diff / jnp.sin(theta)))
+
+
+def descend_step(p: Particles, state: WorldState, params, height_scale,
+                 patch_res, res: int):
+    """One DescendSimultaneous step for every particle.
+
+    Returns (new_particles, events) where events is a dict of per-particle
+    deltas + the cell (row_i, col_i) they land on, masked by participation.
+    """
+    row_i = jnp.clip(jnp.round(p.row).astype(jnp.int32), 0, res - 1)
+    col_i = jnp.clip(jnp.round(p.col).astype(jnp.int32), 0, res - 1)
+    was_alive = p.alive
+
+    d_track = jnp.zeros_like(p.water)
+    d_pool = jnp.zeros_like(p.water)
+    d_sed = jnp.zeros_like(p.water)
+
+    # --- death: dehydration (:284-291) -------------------------------------
+    dehydrated = was_alive & (p.water < 0.01)
+    d_sed = d_sed + jnp.where(dehydrated, p.sediment / height_scale, 0.0)
+
+    # --- death: old age (:292-300) ------------------------------------------
+    too_old = was_alive & ~dehydrated & (p.age >= params.MAXAGE)
+    d_pool = d_pool + jnp.where(too_old, p.water / height_scale, 0.0)
+    d_sed = d_sed + jnp.where(too_old, p.sediment / height_scale, 0.0)
+
+    active = was_alive & ~dehydrated & ~too_old
+
+    # --- neighborhood -------------------------------------------------------
+    wih_map = height_scale * (state.height + state.pool)
+    all_h = wih_map + params.FLOW_HEIGHT_CONTRIBUTION * state.flow
+    current_h = wih_map[row_i, col_i]
+    nb = _gather_neighbors(all_h, row_i, col_i, res)          # [N, 8] quantized
+
+    # natural drain: argmin (first-wins) over nb, direction via WTORDER
+    drain_nb_idx = jnp.argmin(nb, axis=-1).astype(jnp.int32)  # [N]
+    drain_height = jnp.take_along_axis(nb, drain_nb_idx[:, None], -1)[:, 0]
+    drain_ring = jnp.asarray(NB_TO_RING)[drain_nb_idx]
+
+    heading = jnp.where(p.heading < 0, drain_ring, p.heading)
+
+    flow_here = state.flow[row_i, col_i]
+    eff_drag = params.DRAG * (1.0 - jnp.maximum(flow_here, 0.0))
+    eff_friction = params.FRICTION * (1.0 - jnp.maximum(flow_here, 0.0))
+
+    # constrained steering (ChooseHeading, :182-201)
+    left = (heading + 7) % 8
+    right = (heading + 1) % 8
+    ring_to_nb = jnp.asarray(RING_TO_NB)
+    h_left = jnp.take_along_axis(nb, ring_to_nb[left][:, None], -1)[:, 0]
+    h_center = jnp.take_along_axis(nb, ring_to_nb[heading][:, None], -1)[:, 0]
+    h_right = jnp.take_along_axis(nb, ring_to_nb[right][:, None], -1)[:, 0]
+    go_left = (h_left < h_center) & (h_left < h_right)
+    go_right = (h_right < h_left) & (h_right < h_center)
+    flow_ring = jnp.where(go_left, left, jnp.where(go_right, right, heading))
+    heading_height = jnp.where(go_left, h_left, jnp.where(go_right, h_right, h_center))
+
+    h_diff = heading_height - current_h
+    vel = p.vel - p.vel * eff_drag  # drag applies before the branch (:324)
+
+    loss = _uphill_velocity_loss(h_diff, eff_friction, params.GRAVITY, patch_res)
+    downhill_ok = h_diff < 0.0
+    uphill_ok = ~downhill_ok & (loss <= vel)      # NaN loss → False
+    take_heading = downhill_ok | uphill_ok
+    velocity_loss = jnp.where(uphill_ok, loss, 0.0)
+
+    # fallback: natural drain; die if even the drain is uphill (:331-343)
+    drain_h_diff = drain_height - current_h
+    no_drain = active & ~take_heading & (drain_h_diff > 0.0)
+    d_pool = d_pool + jnp.where(no_drain, p.water / height_scale, 0.0)
+    d_sed = d_sed + jnp.where(no_drain, p.sediment / height_scale, 0.0)
+
+    moving = active & ~no_drain
+    new_ring = jnp.where(take_heading, flow_ring, drain_ring)
+    h_diff = jnp.where(take_heading, h_diff, drain_h_diff)
+
+    dr = jnp.asarray(RING_DR)[new_ring].astype(_F32)
+    dc = jnp.asarray(RING_DC)[new_ring].astype(_F32)
+    new_row = p.row + dr
+    new_col = p.col + dc
+
+    # out-of-bounds death loses everything (:351-357)
+    nri = jnp.round(new_row).astype(jnp.int32)
+    nci = jnp.round(new_col).astype(jnp.int32)
+    oob = moving & ((nri < 0) | (nci < 0) | (nri >= res) | (nci >= res))
+    moving = moving & ~oob
+
+    # velocity update (:358-398)
+    v_diff = jnp.abs(h_diff)
+    theta = jnp.arctan(v_diff / patch_res)
+    theta_d = theta * 180.0 / 3.14159
+    gain = _downhill_velocity_gain(v_diff, eff_friction, params.GRAVITY, patch_res)
+    delta_v = jnp.where(
+        v_diff > 0.0,
+        jnp.where(h_diff > 0.0, -velocity_loss, gain),
+        0.0,
+    )
+    vel = jnp.maximum(vel + delta_v, 0.0)
+    over = vel - params.TERMINAL_VELOCITY
+    vel = vel - jnp.maximum(
+        jnp.minimum(over, jnp.maximum(eff_drag * 0.25 * over * over, 0.0)), 0.0
+    )
+
+    # slow-and-flat cull — literal 3° / 1.0 thresholds (:399-407)
+    slow = moving & (theta_d < 3.0) & (vel < 1.0)
+    d_pool = d_pool + jnp.where(slow, p.water / height_scale, 0.0)
+    d_sed = d_sed + jnp.where(slow, p.sediment / height_scale, 0.0)
+    moving = moving & ~slow
+
+    # capacity exchange (:408-423)
+    capacity = vel * p.water * params.CAPACITY
+    deposition = jnp.where(
+        p.sediment < capacity,
+        -params.EROSION * (capacity - p.sediment),
+        params.DEPOSITION * (p.sediment - capacity),
+    )
+    d_sed = d_sed + jnp.where(moving, deposition / height_scale, 0.0)
+    new_sediment = jnp.where(moving, p.sediment - deposition, p.sediment)
+
+    # water track + evaporation (:427-428)
+    d_track = d_track + jnp.where(moving, p.water, 0.0)
+    new_water = jnp.where(moving, p.water * (1.0 - params.EVAP), p.water)
+
+    still_alive = moving
+    out = Particles(
+        row=jnp.where(moving, new_row, p.row),
+        col=jnp.where(moving, new_col, p.col),
+        heading=jnp.where(moving, new_ring, p.heading),
+        vel=jnp.where(moving, vel, p.vel),
+        water=new_water,
+        sediment=new_sediment,
+        age=jnp.where(moving, p.age + 1, p.age),
+        alive=still_alive,
+    )
+    events = dict(row=row_i, col=col_i, d_track=d_track, d_pool=d_pool, d_sed=d_sed)
+    return out, events
+
+
+def descend_all(p: Particles, state: WorldState, params, height_scale,
+                patch_res, res: int, max_steps: int = None):
+    """Run the full descent loop; returns accumulated event maps.
+
+    The reference loop runs until every particle dies; the age cap MAXAGE
+    bounds it, so ``MAXAGE + 1`` scan steps cover every trajectory (the +1
+    delivers the old-age death payout).
+    """
+    steps = (params.MAXAGE + 1) if max_steps is None else max_steps
+    shape = state.height.shape
+    zeros = jnp.zeros(shape, _F32)
+
+    def body(carry, _):
+        part, track_acc, pool_acc, sed_acc = carry
+        part, ev = descend_step(part, state, params, height_scale, patch_res, res)
+        track_acc = track_acc.at[ev["row"], ev["col"]].add(ev["d_track"])
+        pool_acc = pool_acc.at[ev["row"], ev["col"]].add(ev["d_pool"])
+        sed_acc = sed_acc.at[ev["row"], ev["col"]].add(ev["d_sed"])
+        return (part, track_acc, pool_acc, sed_acc), None
+
+    (p, track_acc, pool_acc, sed_acc), _ = jax.lax.scan(
+        body, (p, zeros, zeros, zeros), None, length=steps
+    )
+    return p, track_acc, pool_acc, sed_acc

@@ -1,0 +1,168 @@
+"""Pool automata — cellular standing-water spread with drain detection.
+
+Reference: ``PoolAutomataJob`` (/root/reference/Geologic/ParticleErosion/
+MultiThreadErosionJob.cs:264-327) and ``WorldTile.SpreadPool``
+(LiveErosionDataTypes.cs:938-1010).
+
+The reference runs WATER_STEPS iterations x 4 offset phases; each phase
+visits cells on a diagonal-checkerboard lattice (x parity alternates per
+row — MultiThreadErosionJob.cs:277-283) and, per flooded cell, walks its 4
+neighbors in ascending (height+pool) order: a neighbor that is dry and not
+higher than the cell's *land* is a drain (all water leaves — either
+committed to the neighbor or re-emitted as a drain particle); otherwise up
+to 25% of the head difference equalizes in/out.
+
+TPU-first: the whole grid computes each phase under the lattice mask;
+within a cell the 4 sorted sub-steps run as a vectorized sequential chain
+(exactly the reference's per-cell serial order); cross-cell neighbor
+deltas accumulate via shifted adds and apply at phase end.  The reference
+commits neighbor writes immediately from concurrent worker threads with
+safety checks disabled (races accepted); phase-end application is the
+deterministic version of the same scheme — divergence noted.
+
+Sort-order note: FloodedNeighbor sorts by ``current.GetHashCode()``
+(LiveErosionDataTypes.cs:1035-1042) — for the non-negative floats involved,
+IEEE bit patterns order identically to values, so this is an ascending sort
+by height+pool; ties resolve by neighbor enumeration order here (the
+reference's unstable sort leaves ties unspecified).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.flow import shift_clamped
+from .world import WorldState
+
+_F32 = jnp.float32
+
+# neighbor order in SpreadPool: up, right, down, left (as (d_row, d_col))
+_DIRS = ((1, 0), (0, 1), (-1, 0), (0, -1))
+
+
+def _phase_mask(res: int, xoff: int, zoff: int):
+    """Active lattice for one phase (MultiThreadErosionJob.cs:275-287):
+    rows z = 2·j + zoff; columns x ≡ xoff + (j mod 2) (mod 2)."""
+    rows = jnp.arange(res)
+    cols = jnp.arange(res)
+    j = (rows - zoff) // 2
+    row_active = (rows % 2) == (zoff % 2)
+    col_parity = (xoff + j) % 2
+    m = (cols[None, :] % 2) == col_parity[:, None]
+    return m & row_active[:, None]
+
+
+def _spread_phase(height, pool, mask, drain_particles: bool):
+    """One phase over the whole grid (masked).  Returns (new_pool,
+    drain_map) where drain_map holds water volumes dropped at drain cells
+    (to be re-emitted as particles when drain_particles is True)."""
+    res = height.shape[0]
+    active = mask & (pool > 0.0)
+
+    # gather neighbor land/water (phase-start snapshot)
+    n_height = [shift_clamped(height, dr, dc) for (dr, dc) in _DIRS]
+    n_water = [shift_clamped(pool, dr, dc) for (dr, dc) in _DIRS]
+    n_current = [h + w for h, w in zip(n_height, n_water)]
+
+    # ascending argsort over the 4 neighbors per cell
+    cur = jnp.stack(n_current, 0)                      # [4, R, R]
+    order = jnp.argsort(cur, axis=0)                   # stable
+
+    h_land = height
+    h_water = jnp.where(active, pool, 0.0)
+    t_height = h_land + h_water
+
+    deltas = [jnp.zeros_like(pool) for _ in range(4)]  # per-direction outflow
+    drain_out = [jnp.zeros_like(pool) for _ in range(4)]
+
+    nh = jnp.stack(n_height, 0)
+    nw = jnp.stack(n_water, 0)
+
+    for e in range(4):
+        sel = order[e]                                  # [R,R] direction idx
+        bh = jnp.take_along_axis(nh, sel[None], 0)[0]
+        bw = jnp.take_along_axis(nw, sel[None], 0)[0]
+        bcur = bh + bw
+        diff_v = t_height - bcur
+        can = active & (h_water >= 1e-3)
+        is_drain = can & (bw <= 0.0) & (h_land >= bh)
+        give = can & ~is_drain & (diff_v > 0.0) & (h_water > 0.0)
+        take = can & ~is_drain & (diff_v < 0.0) & (bw > 0.0)
+
+        fill_give = jnp.minimum(0.25 * h_water, 0.25 * diff_v)
+        fill_take = jnp.minimum(0.25 * bw, -0.25 * diff_v)
+
+        moved = (
+            jnp.where(is_drain, h_water, 0.0)
+            + jnp.where(give, fill_give, 0.0)
+            - jnp.where(take, fill_take, 0.0)
+        )
+        h_water = h_water - moved
+        t_height = h_land + h_water
+
+        for d in range(4):
+            hit = sel == d
+            if drain_particles:
+                deltas[d] = deltas[d] + jnp.where(
+                    hit & ~is_drain, moved, 0.0
+                )
+                drain_out[d] = drain_out[d] + jnp.where(hit & is_drain, moved, 0.0)
+            else:
+                deltas[d] = deltas[d] + jnp.where(hit, moved, 0.0)
+
+    new_pool = jnp.where(active, h_water, pool)
+    # scatter the per-direction outflows onto the neighbors (reverse shift)
+    drain_map = jnp.zeros_like(pool)
+    for d, (dr, dc) in enumerate(_DIRS):
+        new_pool = new_pool + shift_clamped(deltas[d], -dr, -dc) * _back_mask(res, dr, dc)
+        if drain_particles:
+            drain_map = drain_map + shift_clamped(drain_out[d], -dr, -dc) * _back_mask(res, dr, dc)
+    return new_pool, drain_map
+
+
+def _back_mask(res: int, dr: int, dc: int):
+    """Reverse-shift validity: a cell received outflow from direction d if
+    its (d-reversed) source lies in bounds; border clamping in SafeIdx means
+    out-of-grid neighbors alias the cell itself — the reference then
+    transfers water 'to' the border cell's own clamped index.  The reverse
+    shift with edge clamp double-counts the border row, so mask it to keep
+    the aliased transfer at the border cell exactly once."""
+    ones = jnp.ones((res, res), _F32)
+    m = jnp.ones((res, res), _F32)
+    if dr == 1:
+        m = m.at[0, :].set(0.0)
+    elif dr == -1:
+        m = m.at[res - 1, :].set(0.0)
+    if dc == 1:
+        m = m.at[:, 0].set(0.0)
+    elif dc == -1:
+        m = m.at[:, res - 1].set(0.0)
+    return m
+
+
+@partial(jax.jit, static_argnames=("iterations", "drain_particles"))
+def pool_automata(height, pool, iterations: int = 10, drain_particles: bool = True):
+    """PoolAutomataJob.Schedule parity: iterations × 4 phases
+    (xoff, zoff) ∈ {0,1}² in that nesting order (MultiThreadErosionJob.cs:
+    314-324).  Returns (pool, drain_map) — drain_map accumulates water
+    volumes at drain sites across all phases for particle re-emission."""
+    res = height.shape[0]
+    masks = [
+        _phase_mask(res, xoff, zoff) for xoff in (0, 1) for zoff in (0, 1)
+    ]
+    drain_total = jnp.zeros_like(pool)
+
+    def one_iter(carry, _):
+        pool, drain_total = carry
+        for m in masks:
+            pool, dm = _spread_phase(height, pool, m, drain_particles)
+            drain_total = drain_total + dm
+        return (pool, drain_total), None
+
+    (pool, drain_total), _ = jax.lax.scan(
+        one_iter, (pool, drain_total), None, length=iterations
+    )
+    return pool, drain_total

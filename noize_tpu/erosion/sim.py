@@ -1,0 +1,253 @@
+"""Live erosion simulation — the per-tile interactive erosion loop.
+
+Reference: ``LiveErosion`` (/root/reference/Geologic/ParticleErosion/
+Component/LiveErosion.cs:29-543), cycle DAG ``TriggerQueuedBeyerMT``
+(:378-436); see SURVEY.md §3.3 for the full call stack.
+
+One ``erosion_cycle`` call is the reference's CYCLES-loop body, fully fused
+in one jit:
+
+  thermal erosion (4·THERMAL_CYCLES checkerboard passes)
+  → spawn particles into free slots (random + queued pool-drain particles)
+  → simultaneous masked descent over MAXAGE steps (scatter-add events)
+  → per-cell event reduce: pool/track placement multipliers
+  → sediment write-back (gaussian disperse / pile deposit + [0,1] breaker)
+  → track→flow decay + pool surface evaporation
+  → pool automata (WATER_STEPS × 4 phases), emitting drain water
+
+Drain-particle respawn divergence (bounded-memory design): the reference
+enqueues one particle per drain event into an unbounded queue consumed next
+cycle; here drain water accumulates in a map and the next cycle's spawn
+converts the top-K wettest drain cells into particles (K = particle slots),
+filling remaining slots with fresh random particles.  Mass in dropped
+drains beyond K re-enters as pool water instead of vanishing.
+
+The ``ErosionSim`` host driver mirrors the LiveErosion component surface:
+reset land/water, single/continuous stepping, save/restore via the state
+store, map views for visualization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.tiles import TileSetMeta
+from ..ops.thermal import thermal_erosion
+from .params import ErosionMode, ErosionSettings
+from .particles import Particles, descend_all, spawn
+from .pool import pool_automata
+from .sediment import write_sediment_map
+from .world import WorldState, update_flow_from_track, curvature_map
+
+_F32 = jnp.float32
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SimState:
+    """Device-side sim state carried across cycles."""
+
+    world: WorldState
+    drain_water: Any   # f32[R,R] — queued drain emissions for next cycle
+    key: Any           # PRNG key
+
+
+def init_state(height, key=None) -> SimState:
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return SimState(
+        world=WorldState.create(height),
+        drain_water=jnp.zeros_like(height),
+        key=key,
+    )
+
+
+def _spawn_with_drains(key, n, res, drain_water):
+    """Fill the particle buffer: drain particles first (top-K wettest drain
+    cells), fresh random particles in the remaining slots."""
+    k1, k2 = jax.random.split(key)
+    flat = drain_water.reshape(-1)
+    vals, idxs = jax.lax.top_k(flat, n)
+    has_drain = vals > 0.0
+    rows = (idxs // res).astype(_F32)
+    cols = (idxs % res).astype(_F32)
+    fresh = spawn(k1, n, res)
+    parts = Particles(
+        row=jnp.where(has_drain, rows, fresh.row),
+        col=jnp.where(has_drain, cols, fresh.col),
+        heading=fresh.heading,
+        vel=fresh.vel,
+        water=jnp.where(has_drain, vals, fresh.water),
+        sediment=fresh.sediment,
+        age=fresh.age,
+        alive=fresh.alive,
+    )
+    # water not converted to particles returns to the pool map
+    taken = jnp.zeros_like(flat).at[idxs].add(jnp.where(has_drain, vals, 0.0))
+    leftover = (flat - taken).reshape(drain_water.shape)
+    return parts, jnp.maximum(leftover, 0.0), k2
+
+
+@partial(
+    jax.jit,
+    static_argnames=("settings", "meta"),
+)
+def erosion_cycle(state: SimState, settings: ErosionSettings, meta: TileSetMeta):
+    """One full cycle of TriggerQueuedBeyerMT's inner loop
+    (LiveErosion.cs:383-415)."""
+    params = settings.as_parameters()
+    res = meta.generator_res
+    height_scale = float(meta.height)
+    patch_res = meta.patch_res
+    world = state.world
+    behavior = settings.BEHAVIOR
+
+    # 1. thermal (LiveErosion.cs:384-386)
+    if settings.ENABLE_THERMAL and behavior != ErosionMode.ONLY_FLOW_WATER:
+        new_height = thermal_erosion(
+            world.height,
+            settings.TALUS,
+            settings.THERMAL_STEP,
+            float(meta.tile_size) / float(meta.height),
+            iterations=settings.THERMAL_CYCLES,
+        )
+        world = replace(world, height=new_height)
+
+    drain_water = state.drain_water
+    key = state.key
+
+    if behavior != ErosionMode.ONLY_FLOW_WATER:
+        # 2. spawn (FillBeyerQueueJob) — drains first, then fresh particles
+        parts, drain_water, key = _spawn_with_drains(
+            key, settings.PARTICLES_PER_CYCLE, res, drain_water
+        )
+        # unconverted drain water re-enters the pool map (see module note)
+        world = replace(world, pool=world.pool + drain_water)
+        drain_water = jnp.zeros_like(drain_water)
+
+        # 3. descent (QueuedBeyerCycleMultiThreadJob)
+        _, track_acc, pool_acc, sed_acc = descend_all(
+            parts, world, params, height_scale, patch_res, res
+        )
+
+        # 4. event reduce (ProcessBeyerErosiveEventsJob → HandleBeyerEvent)
+        world = replace(
+            world,
+            pool=world.pool + pool_acc * params.POOL_PLACEMENT_MULTIPLIER,
+            track=world.track + track_acc * params.TRACK_PLACEMENT_MULTIPLIER,
+        )
+
+        # 5. sediment write-back (ErodeHeightMaps)
+        world = replace(
+            world,
+            height=write_sediment_map(world.height, sed_acc, params, height_scale),
+        )
+
+    # 6. track → flow decay + surface evaporation (UpdateFlowFromTrackJob)
+    world = update_flow_from_track(world, params, height_scale)
+
+    # 7. pool automata (PoolAutomataJob)
+    pool, drains = pool_automata(
+        world.height,
+        world.pool,
+        iterations=settings.WATER_STEPS,
+        drain_particles=behavior != ErosionMode.ONLY_FLOW_WATER,
+    )
+    world = replace(world, pool=pool)
+    drain_water = drain_water + drains
+
+    return SimState(world=world, drain_water=drain_water, key=key)
+
+
+class ErosionSim:
+    """Host driver with the LiveErosion component surface
+    (Setup/Update/reset/save — LiveErosion.cs:203-372)."""
+
+    def __init__(
+        self,
+        height,
+        settings: Optional[ErosionSettings] = None,
+        meta: Optional[TileSetMeta] = None,
+        state_manager=None,
+        tile_pos=(0, 0),
+        seed: int = 0,
+    ):
+        self.settings = settings or ErosionSettings()
+        res = int(height.shape[0])
+        self.meta = meta or TileSetMeta(
+            tile_res=res, tile_size=res, generator_res=res, height=1000, margin=0
+        )
+        self.state_manager = state_manager
+        self.tile_pos = tuple(tile_pos)
+        self.original_height = jnp.asarray(height, _F32)
+        self.state = init_state(self.original_height, jax.random.PRNGKey(seed))
+        self.cycle_count = 0
+
+    # --- map views (LiveErosion MapType, :118-154) --------------------------
+
+    @property
+    def height_map(self):
+        return self.state.world.height
+
+    @property
+    def pool_map(self):
+        return self.state.world.pool
+
+    @property
+    def stream_map(self):
+        return self.state.world.flow
+
+    @property
+    def plant_map(self):
+        return self.state.world.plants
+
+    def curvature(self):
+        return curvature_map(
+            self.state.world.height, float(self.meta.height), self.meta.patch_res
+        )
+
+    # --- stepping (LiveErosion.Update / TriggerQueuedBeyerMT) ---------------
+
+    def step(self, cycles: Optional[int] = None):
+        """Run CYCLES erosion cycles (the reference schedules all CYCLES in
+        one DAG per trigger)."""
+        n = self.settings.CYCLES if cycles is None else cycles
+        for _ in range(n):
+            self.state = erosion_cycle(self.state, self.settings, self.meta)
+            self.cycle_count += 1
+        return self.state
+
+    # --- resets (LiveErosion.cs:267-294) ------------------------------------
+
+    def reset_land(self):
+        self.state = init_state(self.original_height, self.state.key)
+
+    def reset_water(self):
+        w = self.state.world
+        z = jnp.zeros_like(w.pool)
+        self.state = replace(
+            self.state,
+            world=replace(w, pool=z, flow=z, track=z),
+            drain_water=jnp.zeros_like(self.state.drain_water),
+        )
+
+    # --- persistence (SaveErosionState, LiveErosion.cs:111-116) -------------
+
+    def _buffer_name(self, alias: str) -> str:
+        return self.meta.buffer_name(self.tile_pos, alias)
+
+    def save_erosion_state(self):
+        if self.state_manager is None:
+            raise RuntimeError("no state manager attached")
+        self.original_height = self.state.world.height
+        sm = self.state_manager
+        sm.set_buffer(self._buffer_name("TERRAIN_HEIGHT"), self.state.world.height)
+        sm.set_buffer(self._buffer_name("PARTERO_WATERMAP_STREAM"), self.state.world.flow)
+        sm.set_buffer(self._buffer_name("PARTERO_WATERMAP_POOL"), self.state.world.pool)
+        for alias in ("TERRAIN_HEIGHT", "PARTERO_WATERMAP_STREAM", "PARTERO_WATERMAP_POOL"):
+            sm.save_buffer_to_disk(self._buffer_name(alias))

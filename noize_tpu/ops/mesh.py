@@ -1,0 +1,250 @@
+"""Heightmap → mesh emission as device arrays.
+
+Reference: ``HeightMapMeshJob``/``MeshJob``
+(/root/reference/Mesh/Job/HeightMapMeshJob.cs:9-54, MeshJob.cs:9-55), the
+grid generators ``SquareGridHeightMap`` / ``OvershootSquareGridHeightMap`` /
+``SharedSquareGridPosition`` (/root/reference/Mesh/Generators/*.cs) and the
+interleaved vertex streams (``PositionStream16/32``, ``TriangleUInt16/32`` —
+Mesh/Streams/*.cs).
+
+TPU-first design: the reference emits one Unity vertex row per job
+iteration into interleaved MeshData buffers.  Here the whole vertex grid is
+a handful of fused gather + finite-difference array ops returning an SoA
+``MeshArrays`` pytree (positions/normals/tangents/uvs + triangle indices).
+Index dtype parity: uint16 streams for meshes up to 256² (PositionStream16,
+Mesh/README.md:10-12), uint32 above.
+
+All formula quirks are preserved:
+  * x = 0 gets position -(0.5·TileSize/Res) while x ≥ 1 gets
+    x·TileSize/Res − 0.5 (constant!, SquareGridHeightMap.cs:85,92);
+  * SquareGrid's edge extrapolation ``InterpolateEdge(a, b) = a − (b − a)``
+    with its exact call asymmetry (SquareGridHeightMap.cs:70-73 — the r
+    branch switches at x == Resolution−1, not Resolution);
+  * uv denominators differ between the two generators (Res − 0.5 for
+    Overshoot, Res + 1 for SquareGrid);
+  * NormalStrength = 8 (HeightMapMeshJob.cs:41).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_F32 = jnp.float32
+NORMAL_STRENGTH = 8.0  # HeightMapMeshJob.cs:41
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class MeshArrays:
+    """SoA vertex/index streams (the MeshData replacement)."""
+
+    positions: Any  # f32[(R+1)², 3]
+    normals: Any    # f32[(R+1)², 3]
+    tangents: Any   # f32[(R+1)², 4]
+    uvs: Any        # f32[(R+1)², 2]
+    indices: Any    # ui16/ui32[6·R²] flat triangle list
+
+    def tree_flatten(self):
+        return (
+            (self.positions, self.normals, self.tangents, self.uvs, self.indices),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def vertex_count(self):
+        return self.positions.shape[0]
+
+    @property
+    def index_count(self):
+        return self.indices.shape[0]
+
+
+def index_dtype(resolution: int):
+    """PositionStream16 caveat: 16-bit indices only up to 256² meshes."""
+    return jnp.uint16 if (resolution + 1) ** 2 <= 65536 else jnp.uint32
+
+
+def grid_indices(resolution: int, dtype=None) -> np.ndarray:
+    """Triangle index list parity (SquareGridHeightMap.cs:96-103): per cell
+    (z≥1, x≥1) two triangles (vi−R−2, vi−1, vi−R−1), (vi−R−1, vi−1, vi)."""
+    r = resolution
+    if dtype is None:
+        dtype = np.uint16 if (r + 1) ** 2 <= 65536 else np.uint32
+    z, x = np.meshgrid(np.arange(1, r + 1), np.arange(1, r + 1), indexing="ij")
+    vi = (r + 1) * z + x
+    t0 = np.stack([vi - r - 2, vi - 1, vi - r - 1], -1)
+    t1 = np.stack([vi - r - 1, vi - 1, vi], -1)
+    tris = np.stack([t0, t1], -2)  # [r, r, 2, 3] — cell order z-major
+    return tris.reshape(-1).astype(dtype)
+
+
+def _positions_xz(resolution: int, tile_size):
+    """Vertex x/z coordinates with the reference's x==0 special case."""
+    r = resolution
+    step = tile_size / r
+    xs = jnp.arange(r + 1, dtype=_F32) * step - 0.5
+    xs = xs.at[0].set(-(0.5 * step))
+    zs = jnp.arange(r + 1, dtype=_F32) * step - 0.5
+    return xs, zs
+
+
+def _assemble(resolution, t, l, rgt, u, d, tile_size, height, uv_denom):
+    r = resolution
+    xs, zs = _positions_xz(r, tile_size)
+    pos = jnp.stack(
+        [
+            jnp.broadcast_to(xs[None, :], (r + 1, r + 1)),
+            t * height,
+            jnp.broadcast_to(zs[:, None], (r + 1, r + 1)),
+        ],
+        -1,
+    )
+    # tangent.xyz = cross(t2, t1) with t1 = (4, (r−l)/2, 0),
+    # t2 = (0, (u−d)/2, 4)  →  (−4·dx, 16, −4·dz); w stays 0 (never set in
+    # the reference's Vertex)
+    dx = (rgt - l) * 0.5
+    dz = (u - d) * 0.5
+    tan = jnp.stack(
+        [-4.0 * dx, 16.0 * jnp.ones_like(dx), -4.0 * dz, jnp.zeros_like(dx)], -1
+    )
+    n = jnp.stack(
+        [
+            (l - rgt) * 0.5 * NORMAL_STRENGTH,
+            jnp.full_like(dx, 2.0 / height),
+            dz * NORMAL_STRENGTH,
+        ],
+        -1,
+    )
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    iu = jnp.arange(r + 1, dtype=_F32) / uv_denom
+    uv = jnp.stack(
+        [
+            jnp.broadcast_to(iu[None, :], (r + 1, r + 1)),
+            jnp.broadcast_to(iu[:, None], (r + 1, r + 1)),
+        ],
+        -1,
+    )
+    nverts = (r + 1) * (r + 1)
+    return pos.reshape(nverts, 3), n.reshape(nverts, 3), tan.reshape(nverts, 4), uv.reshape(nverts, 2)
+
+
+def _interp_edge(a, b):
+    """InterpolateEdge (SquareGridHeightMap.cs:36-38): a − (b − a)."""
+    return a - (b - a)
+
+
+@partial(jax.jit, static_argnames=("resolution", "input_resolution"))
+def heightmap_mesh(
+    heights,
+    resolution: int,
+    input_resolution: int,
+    height,
+    tile_size,
+):
+    """SquareGridHeightMap: center-crop + edge-extrapolated normals.
+
+    ``heights``: f32[input_resolution, input_resolution] (flat z·res+x grid
+    in the reference).  Returns MeshArrays of (resolution+1)² vertices.
+    """
+    r = resolution
+    off = (input_resolution - r) // 2  # PixOffset (SquareGridHeightMap.cs:33)
+
+    def h(xi, zi):
+        # getIdx clamps x,z to [0, r+1] then offsets into the input grid
+        xi = jnp.clip(xi, 0, r + 1)
+        zi = jnp.clip(zi, 0, r + 1)
+        return heights[zi + off, xi + off]
+
+    x = jnp.arange(r + 1)
+    z = jnp.arange(r + 1)
+    xg, zg = jnp.meshgrid(x, z, indexing="xy")
+    t = h(xg, zg)
+    l_in = h(xg - 1, zg)
+    r_in = h(xg + 1, zg)
+    u_in = h(xg, zg - 1)
+    d_in = h(xg, zg + 1)
+    l = jnp.where(xg > 0, l_in, _interp_edge(t, r_in))
+    rgt = jnp.where(xg < r - 1, r_in, _interp_edge(t, l_in))
+    u = jnp.where(zg > 0, u_in, _interp_edge(d_in, t))
+    d = jnp.where(zg < r - 1, d_in, _interp_edge(u_in, t))
+    pos, n, tan, uv = _assemble(r, t, l, rgt, u, d, tile_size, height, float(r + 1))
+    return MeshArrays(pos, n, tan, uv, jnp.asarray(grid_indices(r)))
+
+
+@partial(jax.jit, static_argnames=("resolution", "input_resolution"))
+def heightmap_mesh_overshoot(
+    heights,
+    resolution: int,
+    input_resolution: int,
+    height,
+    tile_size,
+):
+    """OvershootSquareGridHeightMap: reads real margin samples for the
+    neighbor taps instead of extrapolating (OvershootSquareGridHeightMap.cs).
+    Used by the live-erosion mesher (LiveErosion.cs:305)."""
+    r = resolution
+    off = (input_resolution - r) // 2
+
+    def h(xi, zi):
+        xi = jnp.clip(xi, -off, r + off)
+        zi = jnp.clip(zi, -off, r + off)
+        return heights[zi + off, xi + off]
+
+    x = jnp.arange(r + 1)
+    z = jnp.arange(r + 1)
+    xg, zg = jnp.meshgrid(x, z, indexing="xy")
+    t = h(xg, zg)
+    l = h(xg - 1, zg)
+    rgt = h(xg + 1, zg)
+    u = h(xg, zg - 1)
+    d = h(xg, zg + 1)
+    pos, n, tan, uv = _assemble(r, t, l, rgt, u, d, tile_size, height, float(r) - 0.5)
+    return MeshArrays(pos, n, tan, uv, jnp.asarray(grid_indices(r)))
+
+
+def flat_water_mesh(resolution: int):
+    """SharedSquareGridPosition (water plane) + MeshHelper.SquarePlanarMesh
+    cache semantics live in noize_tpu.app; this emits the unit plane."""
+    r = resolution
+    xs = jnp.arange(r + 1, dtype=_F32) / r - 0.5
+    xs = xs.at[0].set(-0.5)
+    zs = jnp.arange(r + 1, dtype=_F32) / r - 0.5
+    pos = jnp.stack(
+        [
+            jnp.broadcast_to(xs[None, :], (r + 1, r + 1)),
+            jnp.zeros((r + 1, r + 1), _F32),
+            jnp.broadcast_to(zs[:, None], (r + 1, r + 1)),
+        ],
+        -1,
+    ).reshape(-1, 3)
+    n = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], _F32), (pos.shape[0], 1))
+    tan = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0, -1.0]], _F32), (pos.shape[0], 1))
+    iu = jnp.arange(r + 1, dtype=_F32) / (r + 1)
+    uv = jnp.stack(
+        [
+            jnp.broadcast_to(iu[None, :], (r + 1, r + 1)),
+            jnp.broadcast_to(iu[:, None], (r + 1, r + 1)),
+        ],
+        -1,
+    ).reshape(-1, 2)
+    return MeshArrays(pos, n, tan, uv, jnp.asarray(grid_indices(r)))
+
+
+_WATER_MESH_CACHE = {}
+
+
+def square_planar_mesh(resolution: int):
+    """MeshHelper.SquarePlanarMesh per-resolution cache (Helper.cs:63-69)."""
+    if resolution not in _WATER_MESH_CACHE:
+        _WATER_MESH_CACHE[resolution] = flat_water_mesh(resolution)
+    return _WATER_MESH_CACHE[resolution]

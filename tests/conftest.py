@@ -1,0 +1,27 @@
+"""Test config: force a virtual 8-device CPU mesh before JAX initializes.
+
+Mirrors the SURVEY.md §4 test strategy: multi-chip sharding is validated on
+a faked host-device mesh (no TPU pod needed); numerics are validated against
+float32 NumPy oracles (the Burst reference is float32), so tests run
+anywhere.  A persistent compilation cache keeps re-runs fast on this
+single-core driver box.
+"""
+
+import os
+
+# Force CPU: the host environment pins JAX_PLATFORMS=axon (TPU tunnel) and a
+# sitecustomize registers that backend in every interpreter, so an override
+# (not setdefault) is required.  Launching pytest as
+#   PALLAS_AXON_POOL_IPS= python -m pytest tests/
+# additionally skips the tunnel registration (~1 min of startup).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/noize_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
