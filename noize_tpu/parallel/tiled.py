@@ -1,0 +1,109 @@
+"""Multi-tile generation — the MeshTileGenerator workload at device scale.
+
+Reference model (SURVEY.md §2.7): tiles are fully independent; the only
+"communication" is margin overlap so neighbors agree.  Device mapping:
+
+  * ``tile_batch``: a (T,) stack of tile requests vmapped on one chip or
+    sharded P('batch') across the mesh — each device runs whole tiles
+    (noise → filter chain → flow → erosion cycles → mesh heights).  This is
+    the dp axis; tiles agree at seams for free because noise is world-
+    position based (seam test in tests/test_parallel.py).
+  * for the sp axis (one big field sharded spatially with halo exchange)
+    see noize_tpu.parallel.sharded_ops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.tiles import TileSetMeta
+from ..erosion.params import ErosionSettings
+from ..erosion.sim import SimState, erosion_cycle, init_state
+from ..erosion.world import WorldState
+from ..ops.fractal import fractal
+
+
+@dataclass(frozen=True)
+class TilePipelineConfig:
+    """Static per-run config for the fused tile pipeline."""
+
+    meta: TileSetMeta
+    noise_type: str = "Simplex"
+    hurst: float = 0.4
+    octaves: int = 13
+    stepdown: float = 2.0
+    detune_rate: float = 0.0
+    noise_size: float = 1700.0
+    blur_width: int = 5
+    blur_sigma: float = 1.0
+    blur_iterations: int = 17
+    flow_iterations: int = 0          # 0 = keep heights (flow overwrites them)
+    erosion: Optional[ErosionSettings] = None
+    erosion_cycles: int = 0
+
+
+def generate_tile(cfg: TilePipelineConfig, xpos, zpos, key):
+    """One tile end-to-end on device: noise → blur chain → (flow | erosion)
+    → mesh-ready heights.  Pure function of (origin, key)."""
+    from ..ops import blur as _b
+    from ..ops import flow as _f
+
+    res = cfg.meta.generator_res
+    h = fractal(
+        res, xpos, zpos,
+        noise_type=cfg.noise_type, hurst=cfg.hurst, octaves=cfg.octaves,
+        stepdown=cfg.stepdown, detune_rate=cfg.detune_rate,
+        noise_size=cfg.noise_size,
+    )
+    for _ in range(cfg.blur_iterations):
+        h = _b.gauss_blur(h, cfg.blur_width, cfg.blur_sigma)
+    if cfg.flow_iterations:
+        h = _f.flow_map(h, iterations=cfg.flow_iterations)
+    if cfg.erosion is not None and cfg.erosion_cycles > 0:
+        state = init_state(h, key)
+        for _ in range(cfg.erosion_cycles):
+            state = erosion_cycle(state, cfg.erosion, cfg.meta)
+        h = state.world.height
+    return h
+
+
+def tile_batch(cfg: TilePipelineConfig, origins: np.ndarray,
+               mesh: Optional[Mesh] = None, seed: int = 0):
+    """Generate a stack of tiles; vmapped on one device, or sharded
+    P('batch') over a mesh when given.
+
+    ``origins``: int array [T, 2] of (xpos, zpos) tile origins.
+    Returns f32[T, R, R] heightmaps.
+    """
+    t = origins.shape[0]
+    keys = jax.random.split(jax.random.PRNGKey(seed), t)
+    xs = jnp.asarray(origins[:, 0], jnp.float32)
+    zs = jnp.asarray(origins[:, 1], jnp.float32)
+
+    fn = jax.vmap(lambda x, z, k: generate_tile(cfg, x, z, k))
+    if mesh is None:
+        return jax.jit(fn)(xs, zs, keys)
+
+    sharding = NamedSharding(mesh, P("batch"))
+    xs = jax.device_put(xs, sharding)
+    zs = jax.device_put(zs, sharding)
+    keys = jax.device_put(keys, NamedSharding(mesh, P("batch", None)))
+    out_sharding = NamedSharding(mesh, P("batch", None, None))
+    return jax.jit(fn, out_shardings=out_sharding)(xs, zs, keys)
+
+
+def grid_origins(meta: TileSetMeta, nx: int, nz: int) -> np.ndarray:
+    """Tile origins for an nx × nz tile grid (DemoTileGenerator enqueue
+    pattern — BasicDemo~/DemoTileGenerator.cs:12-19)."""
+    out = []
+    for z in range(nz):
+        for x in range(nx):
+            out.append(meta.tile_origin((x, z)))
+    return np.asarray(out, np.int32)

@@ -1,0 +1,127 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: halo-exchange
+stencils must equal their single-device counterparts exactly; tile batches
+must agree at seams."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from noize_tpu.parallel import device_mesh as DM
+from noize_tpu.parallel import sharded_ops as SO
+from noize_tpu.parallel import tiled as TL
+from noize_tpu.ops import kernels as K
+from noize_tpu.ops import blur as B
+from noize_tpu.ops import flow as FL
+from noize_tpu.ops import fractal as FR
+from noize_tpu.core.tiles import TileSetMeta
+
+RNG = np.random.default_rng(3)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "tests require the 8-device CPU mesh"
+    return DM.spatial_mesh()
+
+
+def sharded_field(mesh, res=64):
+    a = RNG.uniform(0, 1, (res, res)).astype(np.float32)
+    return a, jax.device_put(jnp.asarray(a), DM.field_sharding(mesh))
+
+
+class TestMesh:
+    def test_split(self):
+        assert DM._split2(8) == (4, 2)
+        assert DM._split2(4) == (2, 2)
+        assert DM._split2(1) == (1, 1)
+
+    def test_spatial_mesh_axes(self, mesh):
+        assert mesh.shape["x"] * mesh.shape["y"] == 8
+
+
+class TestShardedStencils:
+    def test_gauss_matches_local(self, mesh):
+        a, ash = sharded_field(mesh)
+        got = np.asarray(SO.sharded_gauss_blur(mesh, ash, 5, 1.0, iterations=3))
+        want = np.asarray(B.gauss_blur(B.gauss_blur(B.gauss_blur(
+            jnp.asarray(a), 5, 1.0), 5, 1.0), 5, 1.0))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_kernel_filter_matches_local(self, mesh):
+        a, ash = sharded_field(mesh)
+        got = np.asarray(SO.sharded_kernel_filter(mesh, ash, "Smooth3", 2))
+        want = np.asarray(K.kernel_filter(jnp.asarray(a), "Smooth3", 2))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_sobel2d_matches_local(self, mesh):
+        a, ash = sharded_field(mesh)
+        got = np.asarray(SO.sharded_kernel_filter(mesh, ash, "Sobel3_2D"))
+        want = np.asarray(K.sobel2d(jnp.asarray(a)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_flow_map_matches_local(self, mesh):
+        a, ash = sharded_field(mesh, 32)
+        got = np.asarray(SO.sharded_flow_map(mesh, ash, iterations=6))
+        want = np.asarray(FL.flow_map(jnp.asarray(a), iterations=6))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_fractal_matches_local(self, mesh):
+        got = np.asarray(SO.sharded_fractal(
+            mesh, 64, 128.0, 256.0,
+            noise_type="Simplex", octaves=5, hurst=0.4, noise_size=170.0,
+        ))
+        want = np.asarray(FR.fractal(
+            64, 128, 256,
+            noise_type="Simplex", octaves=5, hurst=0.4, noise_size=170.0,
+        ))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestTileBatch:
+    def test_batch_matches_single(self):
+        meta = TileSetMeta(tile_res=24, tile_size=24, generator_res=32,
+                           height=100, margin=2)
+        cfg = TL.TilePipelineConfig(
+            meta=meta, noise_type="Perlin", octaves=3, noise_size=100.0,
+            blur_iterations=2, blur_width=5,
+        )
+        origins = TL.grid_origins(meta, 2, 2)
+        batched = np.asarray(TL.tile_batch(cfg, origins))
+        single = np.asarray(jax.jit(
+            lambda: TL.generate_tile(cfg, float(origins[3, 0]),
+                                     float(origins[3, 1]),
+                                     jax.random.PRNGKey(0))
+        )())
+        np.testing.assert_allclose(batched[3], single, atol=1e-6)
+
+    def test_sharded_batch(self):
+        bmesh = DM.batch_mesh()
+        meta = TileSetMeta(tile_res=16, tile_size=16, generator_res=16,
+                           height=100, margin=0)
+        cfg = TL.TilePipelineConfig(
+            meta=meta, noise_type="Perlin", octaves=2, noise_size=50.0,
+            blur_iterations=1,
+        )
+        origins = TL.grid_origins(meta, 4, 2)  # 8 tiles over 8 devices
+        out = TL.tile_batch(cfg, origins, mesh=bmesh)
+        assert out.shape == (8, 16, 16)
+        got = np.asarray(out)
+        want = np.asarray(TL.tile_batch(cfg, origins))  # unsharded
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_tiles_seamless_with_margin(self):
+        """Adjacent tiles generated independently agree on their overlap —
+        the reference's margin-consistency contract."""
+        meta = TileSetMeta(tile_res=32, tile_size=32, generator_res=40,
+                           height=100, margin=4)
+        cfg = TL.TilePipelineConfig(
+            meta=meta, noise_type="Simplex", octaves=4, noise_size=90.0,
+            blur_iterations=0,
+        )
+        origins = np.asarray([[0, 0], [32, 0]], np.int32)
+        tiles = np.asarray(TL.tile_batch(cfg, origins))
+        # tile B's window starts 32 cells right of tile A's: overlap is 8
+        np.testing.assert_allclose(
+            tiles[0][:, 32:], tiles[1][:, :8], atol=1e-6
+        )
