@@ -1,0 +1,157 @@
+"""Benchmark suite — measures the BASELINE.md configs and prints ONE JSON
+line for the driver:
+
+    {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+
+Primary metric: wall-clock ms for the flagship 2048² tile step
+(noise → Gauss-5 ×17 → flow map → erosion cycles → mesh) on one chip.
+``vs_baseline`` = 50 ms target / measured (>1 beats the target).
+
+Detailed results for all configs land in bench_results.json.
+
+Env knobs: NOIZE_BENCH_FAST=1 shrinks sizes for smoke runs;
+NOIZE_BENCH_REPS overrides repetition count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _time_fn(fn, *args, reps: int = 5, warmup: int = 2):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times)), times
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/noize_tpu_jax_cache")
+
+    from noize_tpu.app.flagship import make_tile_step
+    from noize_tpu.core.tiles import TileSetMeta
+    from noize_tpu.erosion.params import ErosionSettings
+    from noize_tpu.ops import kernels as K
+    from noize_tpu.ops import flow as FL
+    from noize_tpu.ops.fractal import fractal
+
+    fast = os.environ.get("NOIZE_BENCH_FAST") == "1"
+    reps = int(os.environ.get("NOIZE_BENCH_REPS", "3" if fast else "5"))
+    res = 256 if fast else 2048
+    margin = 8 if fast else 16
+
+    results = {"device": str(jax.devices()[0]), "fast_mode": fast, "configs": {}}
+
+    # --- config 1: Perlin fractal 512² (NoiseStage only) --------------------
+    r1 = 128 if fast else 512
+    f1 = jax.jit(lambda: fractal(r1, 0, 0, noise_type="Perlin", octaves=13,
+                                 hurst=0.4, noise_size=1700.0))
+    ms, _ = _time_fn(f1, reps=reps)
+    results["configs"]["1_perlin_512"] = {
+        "ms": ms, "gcells_per_s": r1 * r1 / ms / 1e6,
+    }
+
+    # --- config 2: Simplex 13-oct + Gauss5 ×17 (README example #1) ----------
+    r2 = 256 if fast else 2048
+    taps = jnp.asarray(K.gaussian_taps(1.0, 5))
+
+    @jax.jit
+    def f2():
+        h = fractal(r2, 0, 0, noise_type="Simplex", octaves=13, hurst=0.4,
+                    noise_size=1700.0)
+        def body(_, a):
+            return K.separable_series(a, taps, taps, 1.0)
+        return jax.lax.fori_loop(0, 17, body, h)
+
+    ms, _ = _time_fn(f2, reps=reps)
+    results["configs"]["2_simplex_gauss5x17"] = {
+        "ms": ms, "gcells_per_s": r2 * r2 / ms / 1e6,
+    }
+
+    # --- config 3: flow map on filtered 1024² -------------------------------
+    r3 = 256 if fast else 1024
+    h3 = jax.block_until_ready(jax.jit(
+        lambda: fractal(r3, 0, 0, noise_type="Simplex", octaves=8,
+                        hurst=0.4, noise_size=1000.0))())
+    f3 = jax.jit(lambda h: FL.flow_map(h, iterations=5))
+    ms, _ = _time_fn(f3, h3, reps=reps)
+    results["configs"]["3_flowmap_1024"] = {"ms": ms}
+
+    # --- config 4: value erosion + Sobel2D + normalize -----------------------
+    from noize_tpu.ops import filters as FI
+
+    @jax.jit
+    def f4(h):
+        h = K.value_erosion(h)
+        h = K.sobel2d(h)
+        return FI.normalize(h)
+
+    ms, _ = _time_fn(f4, h3, reps=reps)
+    results["configs"]["4_value_erosion_sobel"] = {"ms": ms}
+
+    # --- config 5: 4×4 tiled multi-tile noise→erode→mesh heights -------------
+    from noize_tpu.parallel import tiled as TL
+
+    r5 = 64 if fast else 1024
+    meta5 = TileSetMeta(
+        tile_res=r5 - 2 * margin, tile_size=r5 - 2 * margin,
+        generator_res=r5, height=1000, margin=margin,
+    )
+    es5 = ErosionSettings(
+        PARTICLES_PER_CYCLE=250, MAXAGE=32, WATER_STEPS=4, CYCLES=1,
+        PILING_RADIUS=8,
+    )
+    cfg5 = TL.TilePipelineConfig(
+        meta=meta5, octaves=13, noise_size=1700.0, blur_iterations=17,
+        erosion=es5, erosion_cycles=1,
+    )
+    origins = TL.grid_origins(meta5, 4, 4)
+    f5 = jax.jit(lambda: TL.tile_batch(cfg5, origins))
+    ms, _ = _time_fn(f5, reps=max(1, reps - 2), warmup=1)
+    results["configs"]["5_multitile_4x4"] = {
+        "ms": ms, "tiles": 16, "ms_per_tile": ms / 16,
+    }
+
+    # --- headline: flagship 2048² full step ---------------------------------
+    meta = TileSetMeta(
+        tile_res=res - 2 * margin, tile_size=res - 2 * margin,
+        generator_res=res, height=1000, margin=margin,
+    ).validate()
+    settings = ErosionSettings()  # reference defaults: 1000 particles, MAXAGE 100
+    step, _, _ = make_tile_step(
+        meta, settings,
+        octaves=13, blur_iterations=17, flow_iterations=8,
+        erosion_cycles=settings.CYCLES, emit_mesh=True,
+    )
+    key = jax.random.PRNGKey(0)
+    ms, times = _time_fn(step, np.float32(0), np.float32(0), key, reps=reps)
+    results["flagship_2048"] = {"ms": ms, "all_ms": times, "resolution": res}
+
+    with open(os.path.join(os.path.dirname(__file__) or ".", "bench_results.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+
+    target_ms = 50.0
+    print(json.dumps({
+        "metric": f"flagship {res}^2 tile: noise+gauss5x17+flow+erosion(3cyc)+mesh",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(target_ms / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Visualization / texture export — replaces the Unity texture jobs and the
+editor preview window.
+
+Reference analogs:
+  * ``SetRGBA32Job`` (MultiThreadErosionJob.cs:483-533): scale-clamp a map
+    into one byte channel of an RGBA texture, center-cropped to TILE_RES;
+  * ``CurvitureMapJob`` (:387-435): curvature → byte channel;
+  * ``SetTextureBlackJob`` (:582-604);
+  * the water/terrain control textures assembled in
+    ``LiveErosion.TriggerQueuedBeyerMT`` (LiveErosion.cs:419-430);
+  * ``VisualizePipelineWindow`` (Scripts/Editor/VisualizePipeline.cs) →
+    ``render_pipeline`` + PNG export.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..erosion.world import curvature_map
+
+
+def to_byte_channel(src, mesh_res: int, scale: float = 1.0):
+    """SetRGBA32Job parity: center-crop src to mesh_res², scale, clamp to
+    [0,1], quantize to uint8."""
+    src = jnp.asarray(src)
+    data_res = src.shape[0]
+    off = (data_res - mesh_res) // 2
+    window = src[off:off + mesh_res, off:off + mesh_res]
+    return (jnp.clip(window * scale, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def black_texture(res: int):
+    """SetTextureBlackJob parity."""
+    return np.zeros((res, res, 4), np.uint8)
+
+
+def water_control_texture(pool, stream, tile_res: int):
+    """LiveErosion.cs:419-423: R=wet (pool ×1000), G=puddle (pool ×1000),
+    B=stream (×2), A=0."""
+    tex = np.zeros((tile_res, tile_res, 4), np.uint8)
+    tex[..., 0] = np.asarray(to_byte_channel(pool, tile_res, 1000.0))
+    tex[..., 1] = np.asarray(to_byte_channel(pool, tile_res, 1000.0))
+    tex[..., 2] = np.asarray(to_byte_channel(stream, tile_res, 2.0))
+    return tex
+
+
+def terrain_control_texture(height, stream, tile_res: int, height_scale: float,
+                            patch_res: float):
+    """LiveErosion.cs:426-430: G=cavity (stream ×3 then curvature overwrite),
+    A=erosion (stream ×1)."""
+    tex = np.zeros((tile_res, tile_res, 4), np.uint8)
+    tex[..., 1] = np.asarray(to_byte_channel(stream, tile_res, 3.0))
+    curv = curvature_map(jnp.asarray(height), height_scale, patch_res)
+    tex[..., 1] = np.asarray(to_byte_channel(curv, tile_res, 1.0))
+    tex[..., 3] = np.asarray(to_byte_channel(stream, tile_res, 1.0))
+    return tex
+
+
+def to_png(path: str, array, scale: Optional[float] = None):
+    """Grayscale (2-D float) or RGBA (3-D uint8) PNG export — the
+    array→texture path of the editor visualizer, minus the editor.
+
+    Pure-python PNG writer (no imaging deps in the image)."""
+    import struct
+    import zlib
+
+    a = np.asarray(array)
+    if a.ndim == 2:
+        if scale is None:
+            lo, hi = float(a.min()), float(a.max())
+            scale_a = (a - lo) / (hi - lo) if hi > lo else a * 0
+        else:
+            scale_a = np.clip(a * scale, 0.0, 1.0)
+        img = (scale_a * 255).astype(np.uint8)
+        color_type = 0
+        raw = b"".join(b"\x00" + img[i].tobytes() for i in range(img.shape[0]))
+    elif a.ndim == 3 and a.shape[2] == 4:
+        img = a.astype(np.uint8)
+        color_type = 6
+        raw = b"".join(b"\x00" + img[i].tobytes() for i in range(img.shape[0]))
+    else:
+        raise ValueError(f"unsupported array shape {a.shape}")
+
+    h, w = img.shape[:2]
+
+    def chunk(tag, data):
+        out = struct.pack(">I", len(data)) + tag + data
+        return out + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    hdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", hdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as fh:
+        fh.write(png)
+    return path
+
+
+def render_pipeline(pipeline, resolution: int, xpos: int = 0, zpos: int = 0,
+                    uuid: str = "viz"):
+    """VisualizePipelineWindow.RunPipeline analog: run any pipeline at a
+    chosen resolution/offset and return the resulting map."""
+    from ..core.stageio import GeneratorData
+
+    out = pipeline.run(
+        GeneratorData(uuid=uuid, resolution=resolution, xpos=xpos, zpos=zpos)
+    )
+    return out.data

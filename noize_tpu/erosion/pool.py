@@ -114,33 +114,48 @@ def _spread_phase(height, pool, mask, drain_particles: bool):
                 deltas[d] = deltas[d] + jnp.where(hit, moved, 0.0)
 
     new_pool = jnp.where(active, h_water, pool)
-    # scatter the per-direction outflows onto the neighbors (reverse shift)
+    # Scatter the per-direction outflows onto the targets.  A giver g's
+    # target is clamp(g + d): interior givers feed the true neighbor
+    # (zero-fill reverse shift); border givers whose neighbor clamps onto
+    # themselves (SafeIdx aliasing) get their own transfer back.
     drain_map = jnp.zeros_like(pool)
     for d, (dr, dc) in enumerate(_DIRS):
-        new_pool = new_pool + shift_clamped(deltas[d], -dr, -dc) * _back_mask(res, dr, dc)
+        new_pool = _scatter_dir(new_pool, deltas[d], dr, dc)
         if drain_particles:
-            drain_map = drain_map + shift_clamped(drain_out[d], -dr, -dc) * _back_mask(res, dr, dc)
+            drain_map = _scatter_dir(drain_map, drain_out[d], dr, dc)
     return new_pool, drain_map
 
 
-def _back_mask(res: int, dr: int, dc: int):
-    """Reverse-shift validity: a cell received outflow from direction d if
-    its (d-reversed) source lies in bounds; border clamping in SafeIdx means
-    out-of-grid neighbors alias the cell itself — the reference then
-    transfers water 'to' the border cell's own clamped index.  The reverse
-    shift with edge clamp double-counts the border row, so mask it to keep
-    the aliased transfer at the border cell exactly once."""
-    ones = jnp.ones((res, res), _F32)
-    m = jnp.ones((res, res), _F32)
+def _shift_zero(a, dz: int, dc: int):
+    """out[r] = a[r + (dz, dc)] with zeros outside."""
+    h, w = a.shape
+    out = a
+    if dz > 0:
+        out = jnp.pad(out, ((0, dz), (0, 0)))[dz:, :]
+    elif dz < 0:
+        out = jnp.pad(out, ((-dz, 0), (0, 0)))[:h, :]
+    if dc > 0:
+        out = jnp.pad(out, ((0, 0), (0, dc)))[:, dc:]
+    elif dc < 0:
+        out = jnp.pad(out, ((0, 0), (-dc, 0)))[:, :w]
+    return out
+
+
+def _scatter_dir(acc, delta, dr: int, dc: int):
+    """Add ``delta`` (giver-indexed transfers toward direction (dr, dc))
+    onto the accumulator at the clamped target cells."""
+    res = acc.shape[0]
+    acc = acc + _shift_zero(delta, -dr, -dc)
+    # self-aliased border band: giver + d out of grid → target is the giver
     if dr == 1:
-        m = m.at[0, :].set(0.0)
+        acc = acc.at[res - 1, :].add(delta[res - 1, :])
     elif dr == -1:
-        m = m.at[res - 1, :].set(0.0)
+        acc = acc.at[0, :].add(delta[0, :])
     if dc == 1:
-        m = m.at[:, 0].set(0.0)
+        acc = acc.at[:, res - 1].add(delta[:, res - 1])
     elif dc == -1:
-        m = m.at[:, res - 1].set(0.0)
-    return m
+        acc = acc.at[:, 0].add(delta[:, 0])
+    return acc
 
 
 @partial(jax.jit, static_argnames=("iterations", "drain_particles"))

@@ -1,0 +1,177 @@
+"""App layer tests: tile generator orchestration, bakery, visualization, CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from noize_tpu.app import visualize as V
+from noize_tpu.app.bakery import MeshBakeOrder, MeshBakery
+from noize_tpu.app.tile_generator import DemoTileGenerator, MeshTileGenerator
+from noize_tpu.core.store import PipelineStateManager
+from noize_tpu.core.tiles import TileSetMeta
+from noize_tpu.erosion.params import ErosionSettings
+from noize_tpu.pipeline import stages as S
+from noize_tpu.pipeline.driver import Pipeline
+
+RNG = np.random.default_rng(23)
+
+SMALL_META = TileSetMeta(tile_res=24, tile_size=24, generator_res=32,
+                         height=100, margin=4)
+SMALL_EROSION = ErosionSettings(PARTICLES_PER_CYCLE=32, MAXAGE=6, CYCLES=1,
+                                WATER_STEPS=2, PILING_RADIUS=4)
+
+
+def small_source(sm=None):
+    return Pipeline([
+        S.NoiseStage(noiseType="Perlin", octaves=3, noiseSize=64),
+        S.WriteGeneratorContextStage(contextAlias="TERRAIN_HEIGHT"),
+    ], state_manager=sm)
+
+
+class TestMeshTileGenerator:
+    def test_enqueue_and_update(self):
+        gen = MeshTileGenerator(small_source(), meta=SMALL_META,
+                                erosion_settings=SMALL_EROSION)
+        gen.enqueue("a", (0, 0))
+        assert gen.update() is True
+        assert gen.update() is False  # queue drained
+        child = gen.children["(0, 0)"]
+        assert child.mesh.vertex_count == (SMALL_META.tile_res + 1) ** 2
+        assert child.erosion is not None
+        # world-space placement (CreateChildMesh parity)
+        assert child.position_ws == (-SMALL_META.margin_ws, -SMALL_META.margin_ws)
+
+    def test_duplicate_position_rejected(self):
+        gen = MeshTileGenerator(small_source(), meta=SMALL_META,
+                                erosion_settings=SMALL_EROSION)
+        gen.enqueue("a", (1, 1))
+        gen.drain()
+        with pytest.raises(ValueError):
+            gen.enqueue("b", (1, 1))
+
+    def test_remove(self):
+        gen = MeshTileGenerator(small_source(), meta=SMALL_META,
+                                erosion_settings=SMALL_EROSION)
+        gen.enqueue("a", (0, 1))
+        gen.drain()
+        gen.remove((0, 1))
+        with pytest.raises(KeyError):
+            gen.remove((0, 1))
+
+    def test_erosion_stepping_changes_mesh(self):
+        gen = MeshTileGenerator(small_source(), meta=SMALL_META,
+                                erosion_settings=SMALL_EROSION)
+        gen.enqueue("a", (0, 0))
+        gen.drain()
+        before = np.asarray(gen.children["(0, 0)"].mesh.positions).copy()
+        gen.step_erosion(cycles=2)
+        after = np.asarray(gen.children["(0, 0)"].mesh.positions)
+        assert np.abs(after - before).max() > 0
+
+    def test_demo_generator_grid(self):
+        gen = DemoTileGenerator(small_source(), meta=SMALL_META,
+                                erosion_settings=SMALL_EROSION)
+        children = gen.start(1, 1)
+        assert len(children) == 4
+
+    def test_meta_published_to_store(self):
+        sm = PipelineStateManager()
+        gen = MeshTileGenerator(small_source(sm), meta=SMALL_META,
+                                state_manager=sm,
+                                erosion_settings=SMALL_EROSION)
+        assert sm.get_buffer("__G_TileSetMeta") == SMALL_META
+
+
+class TestBakery:
+    def _mesh(self):
+        from noize_tpu.ops import mesh as M
+
+        return M.heightmap_mesh(jnp.zeros((12, 12)), 8, 12, 10.0, 10.0)
+
+    def test_bake_and_dedup(self):
+        bak = MeshBakery(max_batch=2)
+        done = []
+        assert bak.enqueue(MeshBakeOrder("m1", self._mesh(), done.append))
+        assert not bak.enqueue(MeshBakeOrder("m1", self._mesh()))  # dup
+        assert bak.enqueue(MeshBakeOrder("m2", self._mesh(), done.append))
+        n, ms = bak.service()
+        assert n == 2 and done == ["m1", "m2"]
+        assert isinstance(bak.known["m1"].positions, np.ndarray)
+        assert not bak.enqueue(MeshBakeOrder("m1", self._mesh()))  # baked
+
+    def test_batch_limit(self):
+        bak = MeshBakery(max_batch=1)
+        bak.enqueue(MeshBakeOrder("a", self._mesh()))
+        bak.enqueue(MeshBakeOrder("b", self._mesh()))
+        n, _ = bak.service()
+        assert n == 1 and len(bak.queue) == 1
+        bak.drain()
+        assert len(bak.known) == 2
+
+
+class TestVisualize:
+    def test_byte_channel_crop_scale(self):
+        src = np.zeros((8, 8), np.float32)
+        src[2:6, 2:6] = 0.5
+        b = np.asarray(V.to_byte_channel(jnp.asarray(src), 4, scale=1.0))
+        assert b.shape == (4, 4)
+        assert np.all(b == 127)
+        b2 = np.asarray(V.to_byte_channel(jnp.asarray(src), 4, scale=3.0))
+        assert np.all(b2 == 255)  # clamped
+
+    def test_water_texture(self):
+        pool = np.full((8, 8), 0.0005, np.float32)
+        stream = np.full((8, 8), 0.25, np.float32)
+        tex = V.water_control_texture(jnp.asarray(pool), jnp.asarray(stream), 8)
+        assert tex.shape == (8, 8, 4)
+        assert np.all(tex[..., 0] == 127)  # pool × 1000 = .5
+        assert np.all(tex[..., 2] == 127)  # stream × 2 = .5
+
+    def test_png_roundtrip_header(self, tmp_path):
+        a = RNG.uniform(0, 1, (16, 16)).astype(np.float32)
+        p = V.to_png(str(tmp_path / "x.png"), a)
+        with open(p, "rb") as fh:
+            magic = fh.read(8)
+        assert magic == b"\x89PNG\r\n\x1a\n"
+        rgba = np.zeros((4, 4, 4), np.uint8)
+        V.to_png(str(tmp_path / "y.png"), rgba)
+        assert os.path.getsize(tmp_path / "y.png") > 0
+
+    def test_render_pipeline(self):
+        out = V.render_pipeline(
+            Pipeline([S.NoiseStage(octaves=2)]), 16, xpos=10, zpos=20)
+        assert np.asarray(out).shape == (16, 16)
+
+
+class TestCli:
+    def test_demo_command(self, tmp_path):
+        from noize_tpu.app.cli import main
+
+        main(["demo", "-o", str(tmp_path), "--resolution", "32"])
+        assert os.path.exists(tmp_path / "demo.png")
+        assert np.load(tmp_path / "demo.npy").shape == (32, 32)
+
+    def test_run_config(self, tmp_path):
+        from noize_tpu.app.cli import main
+
+        cfg = {
+            "name": "t", "resolution": 16,
+            "stages": [
+                {"stage": "NoiseStage", "noiseType": "Cellular", "octaves": 2},
+                {"stage": "ConstantStage", "operation": "BINARIZE", "value": 0.4},
+            ],
+        }
+        cfile = tmp_path / "cfg.json"
+        cfile.write_text(json.dumps(cfg))
+        main(["run", str(cfile), "-o", str(tmp_path)])
+        arr = np.load(tmp_path / "t.npy")
+        assert set(np.unique(arr)) <= {0.0, 1.0}
+
+    def test_unknown_stage_errors(self, tmp_path):
+        from noize_tpu.app.cli import build_pipeline
+
+        with pytest.raises(SystemExit):
+            build_pipeline({"stages": [{"stage": "Nope"}]})

@@ -1,0 +1,363 @@
+"""Erosion subsystem tests: per-piece oracles + whole-cycle properties."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from noize_tpu.erosion import particles as P
+from noize_tpu.erosion import pool as PO
+from noize_tpu.erosion import sediment as SE
+from noize_tpu.erosion import world as W
+from noize_tpu.erosion.params import ErosionMode, ErosionParameters, ErosionSettings
+from noize_tpu.erosion.sim import ErosionSim, erosion_cycle, init_state
+from noize_tpu.core.tiles import TileSetMeta
+
+RNG = np.random.default_rng(5)
+
+
+def hill(res=32, amp=0.5):
+    """Smooth bump heightmap in [0, amp]."""
+    x = np.linspace(-1, 1, res)
+    g = np.exp(-(x[:, None] ** 2 + x[None, :] ** 2) * 3)
+    return (amp * g).astype(np.float32)
+
+
+class TestWorld:
+    def test_wih_and_all_heights(self):
+        s = W.WorldState.create(jnp.asarray(hill()))
+        s = s.__class__(height=s.height, pool=s.pool + 0.1, flow=s.flow + 0.2,
+                        track=s.track, plants=s.plants)
+        wih = np.asarray(W.wih(s, 1000.0))
+        np.testing.assert_allclose(wih, 1000.0 * (hill() + 0.1), rtol=1e-6)
+        ah = np.asarray(W.all_heights(s, 1000.0, 25.0))
+        np.testing.assert_allclose(ah, wih + 25.0 * 0.2, rtol=1e-5)
+
+    def test_update_flow_from_track_oracle(self):
+        res = 16
+        h = RNG.uniform(0, 1, (res, res)).astype(np.float32)
+        pool = RNG.uniform(0, 1e-4, (res, res)).astype(np.float32)
+        pool[::3] = 0.01  # some cells with real pools
+        flow = RNG.uniform(0, 1, (res, res)).astype(np.float32)
+        track = RNG.uniform(0, 2, (res, res)).astype(np.float32)
+        track[1::2] = 0.0
+        p = ErosionParameters()
+        s = W.WorldState(height=jnp.asarray(h), pool=jnp.asarray(pool),
+                         flow=jnp.asarray(flow), track=jnp.asarray(track),
+                         plants=jnp.zeros((res, res)))
+        out = W.update_flow_from_track(s, p, 1000.0)
+        # loop oracle (LiveErosionDataTypes.cs:869-886)
+        want_flow = np.empty_like(flow)
+        for z in range(res):
+            for x in range(res):
+                pv, tv, poolv = flow[z, x], track[z, x], pool[z, x]
+                if poolv > W.MINFLOWPOOL:
+                    want_flow[z, x] = (1 - 0.1 * p.FLOW_LOSS_RATE) * pv
+                elif tv > 0:
+                    want_flow[z, x] = (1 - p.FLOW_LOSS_RATE) * pv + (
+                        p.FLOW_LOSS_RATE * 50 * tv) / (1 + 50 * tv)
+                else:
+                    want_flow[z, x] = (1 - p.FLOW_LOSS_RATE) * pv
+        np.testing.assert_allclose(np.asarray(out.flow), want_flow, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out.pool),
+            np.maximum(pool - p.SURFACE_EVAPORATION_RATE / 1000.0, 0.0),
+            atol=1e-7,
+        )
+        assert np.all(np.asarray(out.track) == 0)
+
+    def test_curvature_finite(self):
+        c = np.asarray(W.curvature_map(jnp.asarray(hill(64)), 1000.0, 1.0))
+        assert np.all(np.isfinite(c)) and c.min() >= 0
+
+
+class TestParticles:
+    def test_spawn_in_bounds_deterministic(self):
+        k = jax.random.PRNGKey(1)
+        p1 = P.spawn(k, 64, 32)
+        p2 = P.spawn(k, 64, 32)
+        assert np.array_equal(np.asarray(p1.row), np.asarray(p2.row))
+        assert np.asarray(p1.row).min() >= 0 and np.asarray(p1.row).max() <= 31
+        assert np.all(np.asarray(p1.water) == 1.0)
+        assert np.all(np.asarray(p1.vel) == np.float32(0.01))
+
+    def test_descent_conserves_water_accounting(self):
+        """Every particle's water ends up as track traffic and/or pool
+        deposits (scaled by 1/HEIGHT for pools); nothing is created."""
+        res = 24
+        h = hill(res, amp=0.3)
+        state = W.WorldState.create(jnp.asarray(h))
+        params = ErosionParameters(MAXAGE=16)
+        parts = P.spawn(jax.random.PRNGKey(0), 50, res)
+        out, track_acc, pool_acc, sed_acc = jax.jit(
+            lambda p, s: P.descend_all(p, s, params, 1000.0, 1.0, res)
+        )(parts, state)
+        assert not bool(np.asarray(out.alive).any())  # MAXAGE+1 steps kill all
+        # pool deposits are bounded by total spawned water / HEIGHT
+        assert float(np.asarray(pool_acc).sum()) <= 50 * 1.0 / 1000.0 + 1e-5
+        assert float(np.asarray(track_acc).sum()) >= 0.0
+        assert np.all(np.isfinite(np.asarray(sed_acc)))
+
+    def test_descent_moves_downhill(self):
+        """On a slope, surviving particles trend toward lower ground."""
+        res = 32
+        z = np.tile(np.linspace(1.0, 0.0, res, dtype=np.float32), (res, 1))
+        state = W.WorldState.create(jnp.asarray(z))
+        params = ErosionParameters(MAXAGE=8)
+        parts = P.spawn(jax.random.PRNGKey(2), 40, res)
+        start_col = np.asarray(parts.col).copy()
+        step = jax.jit(lambda p, s: P.descend_step(p, s, params, 1000.0, 1.0, res))
+        for _ in range(4):
+            parts, _ = step(parts, state)
+        moved = np.asarray(parts.col) - start_col
+        # heights decrease with col; column index should increase on average
+        assert moved.mean() > 0.5
+
+    def test_quantize_trunc(self):
+        v = jnp.asarray([0.0199, 1.0051, 0.5])
+        np.testing.assert_allclose(np.asarray(P._quantize(v)), [0.01, 1.00, 0.5])
+
+
+def np_spread_phase(height, pool, mask, drain_particles):
+    """Loop transcription of SpreadPool over one phase with snapshot
+    neighbor reads and end-of-phase delta application (matching the
+    deterministic semantics documented in noize_tpu.erosion.pool)."""
+    res = height.shape[0]
+    new_pool = pool.copy()
+    neighbor_delta = np.zeros_like(pool)
+    drain_map = np.zeros_like(pool)
+    dirs = [(1, 0), (0, 1), (-1, 0), (0, -1)]
+    for z in range(res):
+        for x in range(res):
+            if not mask[z, x] or pool[z, x] <= 0:
+                continue
+            h_land = height[z, x]
+            h_water = pool[z, x]
+            t_height = h_land + h_water
+            nbrs = []
+            for di, (dr, dc) in enumerate(dirs):
+                zz = min(max(z + dr, 0), res - 1)
+                xx = min(max(x + dc, 0), res - 1)
+                nbrs.append((height[zz, xx] + pool[zz, xx], di,
+                             height[zz, xx], pool[zz, xx], zz, xx))
+            nbrs.sort(key=lambda t: (t[0], t[1]))
+            for cur, di, bh, bw, zz, xx in nbrs:
+                diff_v = t_height - cur
+                if h_water < 1e-3:
+                    continue
+                if bw <= 0 and h_land >= bh:
+                    if drain_particles:
+                        drain_map[zz, xx] += h_water
+                    else:
+                        neighbor_delta[zz, xx] += h_water
+                    h_water = 0.0
+                    t_height = h_land
+                elif diff_v > 0:
+                    fill = min(0.25 * h_water, 0.25 * diff_v)
+                    h_water -= fill
+                    t_height = h_land + h_water
+                    neighbor_delta[zz, xx] += fill
+                elif diff_v < 0:
+                    if bw <= 0:
+                        continue
+                    fill = min(0.25 * bw, -0.25 * diff_v)
+                    h_water += fill
+                    t_height = h_land + h_water
+                    neighbor_delta[zz, xx] -= fill
+            new_pool[z, x] = h_water
+    return new_pool + neighbor_delta, drain_map
+
+
+class TestPoolAutomata:
+    def test_phase_oracle(self):
+        res = 12
+        height = RNG.uniform(0, 0.5, (res, res)).astype(np.float32)
+        pool = np.zeros((res, res), np.float32)
+        pool[3:7, 3:7] = RNG.uniform(0.001, 0.1, (4, 4)).astype(np.float32)
+        mask = np.asarray(PO._phase_mask(res, 0, 0))
+        got_pool, got_drain = PO._spread_phase(
+            jnp.asarray(height), jnp.asarray(pool), jnp.asarray(mask), True
+        )
+        want_pool, want_drain = np_spread_phase(height, pool, mask, True)
+        np.testing.assert_allclose(np.asarray(got_pool), want_pool, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_drain), want_drain, atol=1e-6)
+
+    def test_phase_oracle_no_drain_particles(self):
+        res = 10
+        height = RNG.uniform(0, 0.2, (res, res)).astype(np.float32)
+        pool = RNG.uniform(0, 0.05, (res, res)).astype(np.float32)
+        mask = np.asarray(PO._phase_mask(res, 1, 1))
+        got_pool, got_drain = PO._spread_phase(
+            jnp.asarray(height), jnp.asarray(pool), jnp.asarray(mask), False
+        )
+        want_pool, want_drain = np_spread_phase(height, pool, mask, False)
+        np.testing.assert_allclose(np.asarray(got_pool), want_pool, atol=1e-6)
+        assert np.asarray(got_drain).sum() == 0
+
+    def test_mask_coverage(self):
+        """The 4 phase masks partition the grid."""
+        res = 16
+        total = sum(np.asarray(PO._phase_mask(res, xo, zo)).astype(int)
+                    for xo in (0, 1) for zo in (0, 1))
+        assert np.all(total == 1)
+
+    def test_water_conservation_without_drains(self):
+        res = 16
+        height = RNG.uniform(0, 0.3, (res, res)).astype(np.float32)
+        pool = RNG.uniform(0, 0.02, (res, res)).astype(np.float32)
+        out, drains = PO.pool_automata(
+            jnp.asarray(height), jnp.asarray(pool), iterations=4,
+            drain_particles=False,
+        )
+        total = float(np.asarray(out).sum() + np.asarray(drains).sum())
+        np.testing.assert_allclose(total, pool.sum(), rtol=1e-4)
+
+    def test_pools_settle_into_basin(self):
+        # strictly convex bowl: every neighbor of the minimum is higher, so
+        # the dry-drain rule can't fire and water equalizes outward
+        res = 17  # odd: strict minimum at the center cell
+        x = np.linspace(-1, 1, res, dtype=np.float32)
+        height = 0.5 * (x[:, None] ** 2 + x[None, :] ** 2)
+        pool = np.zeros((res, res), np.float32)
+        pool[res // 2, res // 2] = 0.5
+        out, _ = PO.pool_automata(jnp.asarray(height), jnp.asarray(pool),
+                                  iterations=16, drain_particles=False)
+        out = np.asarray(out)
+        assert out.max() < 0.5  # spread out
+        assert (out > 1e-4).sum() > 4  # over multiple cells
+        np.testing.assert_allclose(out.sum(), 0.5, rtol=1e-4)
+
+    def test_flat_floor_drains_teleport(self):
+        """On a dead-flat floor the dry-neighbor drain rule moves the whole
+        pool instead of spreading it — reference SpreadPool semantics
+        (LiveErosionDataTypes.cs:973-990)."""
+        res = 8
+        height = np.zeros((res, res), np.float32)
+        pool = np.zeros((res, res), np.float32)
+        pool[4, 4] = 0.5
+        out, _ = PO.pool_automata(jnp.asarray(height), jnp.asarray(pool),
+                                  iterations=1, drain_particles=False)
+        out = np.asarray(out)
+        np.testing.assert_allclose(out.sum(), 0.5, rtol=1e-5)
+        assert (out > 0).sum() == 1 and out[4, 4] == 0.0
+
+
+def np_kernel_disperse(sed, taps):
+    """Loop transcription of KernelDisperse summed over all cells
+    (LiveErosionComponents.cs:130-150, sans breaker)."""
+    res = sed.shape[0]
+    k = len(taps)
+    off = k // 2
+    out = np.zeros_like(sed)
+    for z in range(res):
+        for x in range(res):
+            v = sed[z, x]
+            if v == 0:
+                continue
+            for i in range(k):
+                for j in range(k):
+                    zz = min(max(z - off + i, 0), res - 1)
+                    xx = min(max(x - off + j, 0), res - 1)
+                    out[zz, xx] += v * taps[i] * taps[j]
+    return out
+
+
+class TestSediment:
+    def test_disperse_oracle(self):
+        res = 12
+        sed = np.zeros((res, res), np.float32)
+        sed[0, 0] = 0.3
+        sed[5, 6] = -0.2
+        sed[11, 11] = 0.1
+        got = np.asarray(SE.kernel_disperse(jnp.asarray(sed)))
+        want = np_kernel_disperse(sed, SE.KERNEL5)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_disperse_conserves_mass(self):
+        sed = RNG.normal(0, 0.01, (16, 16)).astype(np.float32)
+        got = np.asarray(SE.kernel_disperse(jnp.asarray(sed)))
+        np.testing.assert_allclose(got.sum(), sed.sum(), atol=1e-5)
+
+    def test_pile_deposit_conserves_mass(self):
+        pile = np.zeros((32, 32), np.float32)
+        pile[10, 10] = 1.0
+        got = np.asarray(SE.pile_deposit(jnp.asarray(pile), 6))
+        np.testing.assert_allclose(got.sum(), 1.0, rtol=1e-5)
+        assert got[10, 10] == got.max()  # peak at the pile site
+
+    def test_pile_deposit_border_folding(self):
+        # near-border pile: out-of-grid cone support folds back in, so the
+        # deposited mass is conserved (exact solver would drop it)
+        pile = np.zeros((32, 32), np.float32)
+        pile[30, 30] = 0.5
+        got = np.asarray(SE.pile_deposit(jnp.asarray(pile), 6))
+        np.testing.assert_allclose(got.sum(), 0.5, rtol=1e-5)
+
+    def test_write_sediment_breaker(self):
+        """[0,1] breaker: cells that would leave range keep the old value."""
+        h = np.full((8, 8), 0.5, np.float32)
+        h[4, 4] = 0.9999
+        sed = np.zeros((8, 8), np.float32)
+        sed[4, 4] = 0.0015  # disperses under the pile threshold
+        params = ErosionParameters()
+        out = np.asarray(SE.write_sediment_map(
+            jnp.asarray(h), jnp.asarray(sed), params, 1000.0))
+        assert out[4, 4] == np.float32(0.9999)  # would exceed 1 → kept
+        assert out[4, 5] > 0.5  # neighbors still receive their share
+
+
+class TestErosionCycle:
+    def test_cycle_properties(self):
+        res = 48
+        h = hill(res, 0.6) + RNG.uniform(0, 0.05, (res, res)).astype(np.float32)
+        es = ErosionSettings(PARTICLES_PER_CYCLE=128, MAXAGE=24, CYCLES=1,
+                             WATER_STEPS=4, PILING_RADIUS=6)
+        meta = TileSetMeta(tile_res=res, tile_size=res, generator_res=res,
+                           height=1000, margin=0)
+        state = init_state(jnp.asarray(h), jax.random.PRNGKey(3))
+        s1 = erosion_cycle(state, es, meta)
+        s2 = erosion_cycle(s1, es, meta)
+        for name in ("height", "pool", "flow", "track"):
+            arr = np.asarray(getattr(s2.world, name))
+            assert np.all(np.isfinite(arr)), name
+        assert float(np.abs(np.asarray(s2.world.height) - h).sum()) > 0
+        assert float(np.asarray(s2.world.flow).sum()) > 0  # streams form
+        assert np.all(np.asarray(s2.world.height) >= 0)
+        assert np.all(np.asarray(s2.world.height) <= 1)
+
+    def test_mode_only_flow_water_keeps_height(self):
+        res = 32
+        h = hill(res)
+        es = ErosionSettings(BEHAVIOR=ErosionMode.ONLY_FLOW_WATER,
+                             PARTICLES_PER_CYCLE=64, MAXAGE=8, WATER_STEPS=2)
+        meta = TileSetMeta(tile_res=res, tile_size=res, generator_res=res,
+                           height=1000, margin=0)
+        out = erosion_cycle(init_state(jnp.asarray(h)), es, meta)
+        np.testing.assert_array_equal(np.asarray(out.world.height), h)
+
+    def test_settings_mode_gating(self):
+        es = ErosionSettings(BEHAVIOR=ErosionMode.ONLY_THERMAL_EROSION)
+        p = es.as_parameters()
+        assert p.CAPACITY == 0.0
+        assert p.POOL_PLACEMENT_MULTIPLIER == 0.0
+        assert p.TERMINAL_VELOCITY == 1.0 / es.DRAG
+
+    def test_sim_driver_reset_and_save(self, tmp_path):
+        from noize_tpu.core.store import PipelineStateManager
+
+        res = 24
+        sm = PipelineStateManager(str(tmp_path), "t", "1")
+        es = ErosionSettings(PARTICLES_PER_CYCLE=32, MAXAGE=8, CYCLES=1,
+                             WATER_STEPS=2, PILING_RADIUS=4)
+        sim = ErosionSim(hill(res), settings=es, state_manager=sm)
+        sim.step(2)
+        assert sim.cycle_count == 2
+        sim.save_erosion_state()
+        h_saved = np.asarray(sim.height_map)
+        sim.step(1)
+        sim.reset_land()
+        np.testing.assert_array_equal(np.asarray(sim.height_map), h_saved)
+        # restore through a fresh manager
+        sm2 = PipelineStateManager(str(tmp_path), "t", "1")
+        restored = sm2.get_buffer(sim._buffer_name("TERRAIN_HEIGHT"))
+        np.testing.assert_array_equal(np.asarray(restored), h_saved)
