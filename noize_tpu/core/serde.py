@@ -28,9 +28,9 @@ MANIFEST = "files.json"
 
 def _native():
     try:
-        from ..native import serde_native  # built lazily; optional
+        from .. import native as serde_native  # built lazily; optional
 
-        return serde_native
+        return serde_native if serde_native.available() else None
     except Exception:
         return None
 

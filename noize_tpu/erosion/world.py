@@ -83,13 +83,12 @@ def normal_map(state: WorldState, height_scale, patch_res):
     left = shift_clamped(h, 0, -1)
     # a = cross((0, h-up, p), (p, h-right, 0)); b = cross((0, h-down, -p), (-p, h-left, 0))
     p = patch_res
-    ax = (h - up) * 0.0 - p * (h - right)
-    ay = p * p
-    az = 0.0 * (h - right) - (h - up) * p
-    bx = (h - down) * 0.0 - (-p) * (h - left)
-    by = p * p
-    bz = 0.0 * (h - left) - (h - down) * (-p)
-    return jnp.stack([ax + bx, ay + by, az + bz], -1)
+    ax = -p * (h - right)
+    az = -(h - up) * p
+    bx = p * (h - left)
+    bz = p * (h - down)
+    y = jnp.full_like(h, 2.0 * p * p)  # a_y + b_y = 2p²
+    return jnp.stack([ax + bx, y, az + bz], -1)
 
 
 def update_flow_from_track(state: WorldState, params, height_scale) -> WorldState:

@@ -1,0 +1,43 @@
+"""Misc utilities — Helpers.Fill / PropMapper parity.
+
+Reference: ``Helpers.Fill<T>`` (/root/reference/Utils/Helpers/helpers.cs:5-21,
+a doubling array fill) and ``PropMapper`` (Utils/Helpers/PropMapper.cs:36-105,
+a reflection-free property copier used to clone inspector configs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+
+def fill(array, count: int, value):
+    """Fill the first ``count`` entries of ``array`` with ``value``.
+    (NumPy makes the reference's doubling loop a single slice store.)"""
+    array[:count] = value
+    return array
+
+
+def copy_props(src: Any, dst: Any, only_shared: bool = True):
+    """PropMapper analog: copy matching public fields between two config
+    objects (dataclasses or plain attribute bags); returns dst (a new
+    instance for frozen dataclasses)."""
+    if dataclasses.is_dataclass(dst):
+        names = {f.name for f in dataclasses.fields(dst)}
+        updates = {}
+        for n in names:
+            if hasattr(src, n):
+                updates[n] = getattr(src, n)
+            elif not only_shared:
+                raise AttributeError(f"source missing field {n!r}")
+        return dataclasses.replace(dst, **updates)
+    for n in vars(dst):
+        if n.startswith("_"):
+            continue
+        if hasattr(src, n):
+            setattr(dst, n, getattr(src, n))
+        elif not only_shared:
+            raise AttributeError(f"source missing field {n!r}")
+    return dst

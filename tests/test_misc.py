@@ -1,0 +1,146 @@
+"""Tests for the auxiliary surface: edge ops, vegetation, stats, tracking,
+helpers."""
+
+import logging
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from noize_tpu.ops import edge as E
+from noize_tpu.ops import kernels as K
+from noize_tpu.erosion import vegetation as VG
+from noize_tpu.erosion.world import WorldState
+from noize_tpu.utils import helpers as H
+from noize_tpu.utils import stats as ST
+from noize_tpu.utils import tracking as TR
+
+RNG = np.random.default_rng(41)
+
+
+class TestEdge:
+    def test_sobel_matches_kernel_filter(self):
+        a = jnp.asarray(RNG.uniform(0, 1, (24, 24)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(E.edge_1d(a, "SOBEL", "HORIZONTAL")),
+            np.asarray(K.kernel_filter(a, "Sobel3Horizontal")), atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(E.edge_2d(a, "SOBEL")),
+            np.asarray(K.sobel2d(a)), atol=1e-6)
+
+    def test_prewitt(self):
+        a = jnp.asarray(RNG.uniform(0, 1, (16, 16)).astype(np.float32))
+        out = np.asarray(E.edge_2d(a, "PREWITT"))
+        assert out.shape == a.shape and np.all(out >= 0)
+
+    def test_bad_args(self):
+        with pytest.raises(ValueError):
+            E.edge_1d(jnp.zeros((4, 4)), "SCHARR", "HORIZONTAL")
+
+
+class TestVegetation:
+    def setup_method(self):
+        res = 32
+        x = np.linspace(-1, 1, res, dtype=np.float32)
+        h = 0.3 * np.exp(-(x[:, None] ** 2 + x[None, :] ** 2))
+        self.state = WorldState.create(jnp.asarray(h))
+
+    def test_survival_gates(self):
+        pt = VG.PlantType(max_pool_survival=0.01, max_stream_survival=0.5,
+                          max_density=1.0, max_angle=1e9)
+        ok = np.asarray(VG.can_survive(pt, self.state, 100.0, 1.0))
+        assert ok.all()  # dry, no streams, zero density
+        wet = WorldState(height=self.state.height,
+                         pool=self.state.pool + 0.02,
+                         flow=self.state.flow, track=self.state.track,
+                         plants=self.state.plants)
+        assert not np.asarray(VG.can_survive(pt, wet, 100.0, 1.0)).any()
+
+    def test_root_and_splat(self):
+        pt = VG.PlantType(max_angle=1e9)
+        plants = VG.root_plants(jax.random.PRNGKey(0), pt, self.state, 16,
+                                100.0, 1.0)
+        assert bool(np.asarray(plants.alive).all())
+        dens = VG.splat_density(self.state.plants, plants)
+        d = np.asarray(dens)
+        # total: 16 · (1 + 4·0.6 + 4·0.4) = 16·5 (minus any clamp overlaps)
+        assert 16 * 4.0 <= d.sum() <= 16 * 5.0 + 1e-4
+        assert d.max() >= 1.0
+
+    def test_grow_kills_on_ground_change(self):
+        pt = VG.PlantType(max_angle=1e9)
+        plants = VG.root_plants(jax.random.PRNGKey(1), pt, self.state, 8,
+                                100.0, 1.0)
+        moved = WorldState(height=self.state.height + 0.5,
+                           pool=self.state.pool, flow=self.state.flow,
+                           track=self.state.track, plants=self.state.plants)
+        out = VG.grow(plants, moved)
+        assert not bool(np.asarray(out.alive).any())
+
+
+class TestStats:
+    def test_regression_parity(self):
+        xs = jnp.asarray(RNG.uniform(1, 10, 64).astype(np.float32))
+        ys = 2.0 + 3.0 * jnp.log(xs)
+        b1, b2 = ST.fit_log(xs, ys)
+        np.testing.assert_allclose(float(b1), 2.0, atol=1e-3)
+        np.testing.assert_allclose(float(b2), 3.0, atol=1e-3)
+        np.testing.assert_allclose(
+            float(ST.mean_square_error(ST.predict_log(xs, b1, b2), ys)),
+            0.0, atol=1e-5)
+
+    def test_basic(self):
+        a = jnp.asarray([1.0, 2.0, 3.0])
+        assert float(ST.mean(a)) == 2.0
+        assert float(ST.sum_square_difference(a)) == 2.0
+
+
+class TestTracking:
+    def test_job_handler(self):
+        h = TR.StandAloneJobHandler()
+        assert not h.job_complete()
+        out = jax.jit(lambda x: x * 2)(jnp.arange(1000.0))
+        h.track_job(out)
+        jax.block_until_ready(out)
+        assert h.job_complete()
+        assert h.close_job()
+        assert not h.is_running
+
+    def test_array_stats(self, caplog):
+        a = np.array([1.0, np.nan, 3.0])
+        with caplog.at_level(logging.WARNING, logger="noize_tpu"):
+            s = TR.array_stats("t", a)
+        assert s["nonfinite"] == 1 and s["min"] == 1.0 and s["max"] == 3.0
+        assert any("non-finite" in r.message for r in caplog.records)
+
+    def test_stage_timer_logs(self, caplog):
+        with caplog.at_level(logging.INFO, logger="noize_tpu"):
+            with TR.stage_timer("demo"):
+                pass
+        assert any("scheduled in" in r.message for r in caplog.records)
+
+
+class TestHelpers:
+    def test_fill(self):
+        a = np.zeros(10)
+        H.fill(a, 6, 3.0)
+        assert a[:6].sum() == 18.0 and a[6:].sum() == 0.0
+
+    def test_copy_props_dataclass(self):
+        from noize_tpu.erosion.params import ErosionSettings
+
+        src = ErosionSettings(CYCLES=9, EVAP=0.5)
+        dst = H.copy_props(src, ErosionSettings())
+        assert dst.CYCLES == 9 and dst.EVAP == 0.5
+
+    def test_copy_props_plain(self):
+        class A:
+            pass
+
+        a, b = A(), A()
+        a.x = 1
+        b.x = 0
+        b.y = 5
+        out = H.copy_props(a, b)
+        assert out.x == 1 and out.y == 5
