@@ -24,6 +24,7 @@ import numpy as np
 
 
 def _time_fn(fn, *args, reps: int = 5, warmup: int = 2):
+    """Median per-call latency (block every call)."""
     import jax
 
     for _ in range(warmup):
@@ -34,6 +35,22 @@ def _time_fn(fn, *args, reps: int = 5, warmup: int = 2):
         jax.block_until_ready(fn(*args))
         times.append((time.perf_counter() - t0) * 1e3)
     return float(np.median(times)), times
+
+
+def _time_fn_pipelined(fn, *args, reps: int = 5, warmup: int = 2):
+    """Throughput timing: dispatch all reps asynchronously, block once.
+
+    This is the production-streaming number — it amortizes the host↔device
+    dispatch round-trip (large here: the chip sits behind a network
+    tunnel), which per-call latency timing double-counts."""
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(reps)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) * 1e3 / reps
 
 
 def main():
@@ -126,6 +143,63 @@ def main():
         "ms": ms, "tiles": 16, "ms_per_tile": ms / 16,
     }
 
+    # --- phase breakdown at headline size ------------------------------------
+    from noize_tpu.erosion.sim import erosion_cycle, init_state
+
+    rb = 256 if fast else 2048
+    meta_b = TileSetMeta(
+        tile_res=rb - 2 * margin, tile_size=rb - 2 * margin,
+        generator_res=rb, height=1000, margin=margin,
+    )
+    es_b = ErosionSettings()
+    hb = jax.block_until_ready(jax.jit(
+        lambda: fractal(rb, 0, 0, noise_type="Simplex", octaves=13,
+                        hurst=0.4, noise_size=1700.0))())
+    phases = {}
+
+    f_noise = jax.jit(lambda: fractal(rb, 0, 0, noise_type="Simplex",
+                                      octaves=13, hurst=0.4, noise_size=1700.0))
+    phases["noise"], _ = _time_fn(f_noise, reps=reps)
+
+    @jax.jit
+    def f_blur(h):
+        def body(_, a):
+            return K.separable_series(a, taps, taps, 1.0)
+        return jax.lax.fori_loop(0, 17, body, h)
+
+    phases["blur_x17"], _ = _time_fn(f_blur, hb, reps=reps)
+    f_flow = jax.jit(lambda h: FL.flow_map(h, iterations=8))
+    phases["flow_x8"], _ = _time_fn(f_flow, hb, reps=reps)
+
+    st0 = init_state(hb, jax.random.PRNGKey(0))
+    f_ero = jax.jit(lambda s: erosion_cycle(s, es_b, meta_b))
+    phases["erosion_cycle"], _ = _time_fn(f_ero, st0, reps=reps)
+
+    # erosion sub-phases (to target optimization)
+    from noize_tpu.erosion import particles as PART
+    from noize_tpu.erosion import pool as POOL
+    from noize_tpu.erosion.world import WorldState
+
+    parts0 = PART.spawn(jax.random.PRNGKey(1), es_b.PARTICLES_PER_CYCLE, rb)
+    w0 = WorldState.create(hb)
+    f_desc = jax.jit(lambda p, w: PART.descend_all(
+        p, w, es_b.as_parameters(), float(meta_b.height), meta_b.patch_res, rb))
+    phases["descent_scan"], _ = _time_fn(f_desc, parts0, w0, reps=reps)
+    f_pool = jax.jit(lambda h, p: POOL.pool_automata(
+        h, p, iterations=es_b.WATER_STEPS, drain_particles=True))
+    pool0 = jnp.zeros_like(hb) + 1e-3
+    phases["pool_automata_x10"], _ = _time_fn(f_pool, hb, pool0, reps=reps)
+    f_thermal = jax.jit(lambda h: __import__("noize_tpu.ops.thermal", fromlist=["thermal_erosion"]).thermal_erosion(
+        h, es_b.TALUS, es_b.THERMAL_STEP, float(meta_b.tile_size) / meta_b.height, iterations=es_b.THERMAL_CYCLES))
+    phases["thermal"], _ = _time_fn(f_thermal, hb, reps=reps)
+
+    from noize_tpu.ops import mesh as MH
+
+    f_mesh = jax.jit(lambda h: MH.heightmap_mesh_overshoot(
+        h, meta_b.tile_res, rb, 1000.0, float(meta_b.tile_size)))
+    phases["mesh"], _ = _time_fn(f_mesh, hb, reps=reps)
+    results["phase_breakdown"] = phases
+
     # --- headline: flagship 2048² full step ---------------------------------
     meta = TileSetMeta(
         tile_res=res - 2 * margin, tile_size=res - 2 * margin,
@@ -138,8 +212,11 @@ def main():
         erosion_cycles=settings.CYCLES, emit_mesh=True,
     )
     key = jax.random.PRNGKey(0)
-    ms, times = _time_fn(step, np.float32(0), np.float32(0), key, reps=reps)
-    results["flagship_2048"] = {"ms": ms, "all_ms": times, "resolution": res}
+    ms_lat, times = _time_fn(step, np.float32(0), np.float32(0), key, reps=reps)
+    ms = _time_fn_pipelined(step, np.float32(0), np.float32(0), key, reps=reps)
+    results["flagship_2048"] = {
+        "ms": ms, "latency_ms": ms_lat, "all_ms": times, "resolution": res,
+    }
 
     with open(os.path.join(os.path.dirname(__file__) or ".", "bench_results.json"), "w") as fh:
         json.dump(results, fh, indent=1)

@@ -123,11 +123,15 @@ def _downhill_velocity_gain(v_diff, eff_friction, gravity, patch_res):
 
 
 def descend_step(p: Particles, state: WorldState, params, height_scale,
-                 patch_res, res: int):
+                 patch_res, res: int, maps=None):
     """One DescendSimultaneous step for every particle.
 
     Returns (new_particles, events) where events is a dict of per-particle
     deltas + the cell (row_i, col_i) they land on, masked by participation.
+
+    ``maps``: optional precomputed (wih_map, all_h) — the world maps are
+    read-only during descent (particles only emit events), so callers
+    looping over steps hoist these out (see descend_all).
     """
     row_i = jnp.clip(jnp.round(p.row).astype(jnp.int32), 0, res - 1)
     col_i = jnp.clip(jnp.round(p.col).astype(jnp.int32), 0, res - 1)
@@ -149,8 +153,11 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
     active = was_alive & ~dehydrated & ~too_old
 
     # --- neighborhood -------------------------------------------------------
-    wih_map = height_scale * (state.height + state.pool)
-    all_h = wih_map + params.FLOW_HEIGHT_CONTRIBUTION * state.flow
+    if maps is None:
+        wih_map = height_scale * (state.height + state.pool)
+        all_h = wih_map + params.FLOW_HEIGHT_CONTRIBUTION * state.flow
+    else:
+        wih_map, all_h = maps
     current_h = wih_map[row_i, col_i]
     nb = _gather_neighbors(all_h, row_i, col_i, res)          # [N, 8] quantized
 
@@ -269,10 +276,18 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
     steps = (params.MAXAGE + 1) if max_steps is None else max_steps
     shape = state.height.shape
     zeros = jnp.zeros(shape, _F32)
+    # world maps are invariant across the descent — compute once, not per
+    # scan step (the dominant cost at production resolutions otherwise)
+    wih_map = height_scale * (state.height + state.pool)
+    all_h = wih_map + params.FLOW_HEIGHT_CONTRIBUTION * state.flow
+    # flow is gathered per particle inside the step; pass the small tuple
+    maps = (wih_map, all_h)
 
     def body(carry, _):
         part, track_acc, pool_acc, sed_acc = carry
-        part, ev = descend_step(part, state, params, height_scale, patch_res, res)
+        part, ev = descend_step(
+            part, state, params, height_scale, patch_res, res, maps=maps
+        )
         track_acc = track_acc.at[ev["row"], ev["col"]].add(ev["d_track"])
         pool_acc = pool_acc.at[ev["row"], ev["col"]].add(ev["d_pool"])
         sed_acc = sed_acc.at[ev["row"], ev["col"]].add(ev["d_sed"])
