@@ -72,6 +72,78 @@ def _phase(data, x0, z0, max_diff, increment):
 _PHASE_OFFSETS = ((1, 2), (2, 2), (1, 1), (2, 1))
 
 
+def _shift(a, dz: int, dx: int):
+    """Edge-clamped shift: out[z, x] = a[z+dz, x+dx] (values outside the
+    array never survive the valid-block mask, clamping just keeps shapes)."""
+    h, w = a.shape
+    if dz > 0:
+        a = jnp.pad(a, ((0, dz), (0, 0)), mode="edge")[dz:, :]
+    elif dz < 0:
+        a = jnp.pad(a, ((-dz, 0), (0, 0)), mode="edge")[:h, :]
+    if dx > 0:
+        a = jnp.pad(a, ((0, 0), (0, dx)), mode="edge")[:, dx:]
+    elif dx < 0:
+        a = jnp.pad(a, ((0, 0), (-dx, 0)), mode="edge")[:, :w]
+    return a
+
+
+def thermal_phase_masked(d, x0: int, z0: int, origin_row, origin_col,
+                         res_global: int, max_diff, increment):
+    """Mask/role formulation of one checkerboard phase.
+
+    Equivalent to ``_phase`` but expressed per cell instead of per strided
+    slice: each covered cell determines its corner role within its 2x2
+    block from *global* parity, reconstructs the block's four original
+    values via shifts, applies the sequential rectify chain, and keeps its
+    own corner's result.  Because a cell's new value depends only on its
+    block's four inputs, this works on halo-extended shards — the basis of
+    ``parallel.sharded_ops.sharded_thermal_erosion``.
+
+    ``origin_row``/``origin_col``: global coordinates of d[0, 0] (may be
+    traced, e.g. derived from a mesh axis index).
+    """
+    h, w = d.shape
+    gz = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + origin_row
+    gx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + origin_col
+    rx = (gx - x0) % 2
+    rz = (gz - z0) % 2
+    ax = gx - rx  # block anchor, global coords
+    az = gz - rz
+    # reference coverage: anchors x in [x0, res-2], z in [z0, zmax]
+    zmax = res_global - 2 if z0 == 2 else res_global - 3
+    valid = (ax >= x0) & (ax < res_global - 1) & (az >= z0) & (az <= zmax)
+
+    shifted = {
+        (dz, dx): _shift(d, dz, dx)
+        for dz in (-1, 0, 1) for dx in (-1, 0, 1)
+    }
+
+    def pick(dz_arr, dx_arr):
+        """select shifted[(dz, dx)] per cell for dz/dx in {-1, 0, 1}."""
+        out = jnp.zeros_like(d)
+        for (dz, dx), arr in shifted.items():
+            out = jnp.where((dz_arr == dz) & (dx_arr == dx), arr, out)
+        return out
+
+    # corner (cx, cz) value seen from a cell with role (rx, rz):
+    #   d[z + cz - rz, x + cx - rx]
+    v = {}
+    for cx in (0, 1):
+        for cz in (0, 1):
+            v[(cx, cz)] = pick(cz - rz, cx - rx)
+
+    # float4 order: x=(0,0), y=(1,0), z=(0,1), w=(1,1); pairs as in _PAIRS
+    order = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    vals = [v[c] for c in order]
+    for i, j in _PAIRS:
+        vals[i], vals[j] = _rectify_pair(vals[i], vals[j], max_diff, increment)
+
+    own = jnp.zeros_like(d)
+    for idx, (cx, cz) in enumerate(order):
+        own = jnp.where((rx == cx) & (rz == cz), vals[idx], own)
+    return jnp.where(valid, own, d)
+
+
 @partial(jax.jit, static_argnames=("iterations",))
 def thermal_erosion(
     data,

@@ -110,6 +110,40 @@ def sharded_gauss_blur(mesh: Mesh, data, width: int, sigma, iterations: int = 1)
     return data
 
 
+def sharded_thermal_erosion(mesh: Mesh, data, talus, increment_ratio,
+                            height_width_ratio, iterations: int = 1):
+    """thermal_erosion over a sharded field: the mask/role phase variant
+    (ops.thermal.thermal_phase_masked) on halo-1 extended shards, one
+    exchange per phase.  Matches the single-device op exactly."""
+    from ..ops import thermal as _t
+
+    res = data.shape[0]
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    local_r = res // nx
+    local_c = res // ny
+    talus_rad = (talus / 90.0) * 3.14159 / 2.0
+    spec = P("x", "y")
+
+    @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
+    def run(block):
+        max_diff = (jnp.tan(jnp.float32(talus_rad)) * height_width_ratio) / res
+        row0 = lax.axis_index("x") * local_r - 1
+        col0 = lax.axis_index("y") * local_c - 1
+
+        def one_iter(_, b):
+            for (x0, z0) in _t._PHASE_OFFSETS:
+                ext = exchange_2d(b, 1)
+                ext = _t.thermal_phase_masked(
+                    ext, x0, z0, row0, col0, res, max_diff, increment_ratio
+                )
+                b = _crop(ext, 1)
+            return b
+
+        return lax.fori_loop(0, iterations, one_iter, block)
+
+    return run(data)
+
+
 def sharded_flow_map(mesh: Mesh, height, iterations: int = 5,
                      norm_min=-0.1, norm_max=0.1):
     """flow_map over a sharded field: width-1 halo exchanged per relaxation

@@ -125,3 +125,29 @@ class TestTileBatch:
         np.testing.assert_allclose(
             tiles[0][:, 32:], tiles[1][:, :8], atol=1e-6
         )
+
+
+class TestShardedThermal:
+    def test_masked_phase_matches_sliced(self):
+        from noize_tpu.ops import thermal as T
+        import jax.numpy as jnp
+
+        res = 20
+        a = RNG.uniform(0, 2, (res, res)).astype(np.float32)
+        for (x0, z0) in T._PHASE_OFFSETS:
+            want = np.asarray(T._phase(jnp.asarray(a), x0, z0, 0.01, 0.5))
+            got = np.asarray(T.thermal_phase_masked(
+                jnp.asarray(a), x0, z0, 0, 0, res, 0.01, 0.5))
+            np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"{x0},{z0}")
+
+    def test_sharded_matches_local(self, mesh):
+        from noize_tpu.ops import thermal as T
+        from noize_tpu.parallel import sharded_ops as SO2
+        import jax.numpy as jnp
+
+        a, ash = sharded_field(mesh, 32)
+        got = np.asarray(SO2.sharded_thermal_erosion(mesh, ash, 45.0, 0.5, 1.0,
+                                                     iterations=2))
+        want = np.asarray(T.thermal_erosion(jnp.asarray(a), 45.0, 0.5, 1.0,
+                                            iterations=2))
+        np.testing.assert_allclose(got, want, atol=1e-6)
