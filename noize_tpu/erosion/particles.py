@@ -280,20 +280,22 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
     # scan step (the dominant cost at production resolutions otherwise)
     wih_map = height_scale * (state.height + state.pool)
     all_h = wih_map + params.FLOW_HEIGHT_CONTRIBUTION * state.flow
-    # flow is gathered per particle inside the step; pass the small tuple
     maps = (wih_map, all_h)
 
-    def body(carry, _):
-        part, track_acc, pool_acc, sed_acc = carry
+    def body(part, _):
         part, ev = descend_step(
             part, state, params, height_scale, patch_res, res, maps=maps
         )
-        track_acc = track_acc.at[ev["row"], ev["col"]].add(ev["d_track"])
-        pool_acc = pool_acc.at[ev["row"], ev["col"]].add(ev["d_pool"])
-        sed_acc = sed_acc.at[ev["row"], ev["col"]].add(ev["d_sed"])
-        return (part, track_acc, pool_acc, sed_acc), None
+        # emit the step's events; the scatter-add reduce happens ONCE after
+        # the scan (one big scatter beats MAXAGE tiny ones on TPU)
+        flat = (ev["row"] * res + ev["col"]).astype(jnp.int32)
+        return part, (flat, ev["d_track"], ev["d_pool"], ev["d_sed"])
 
-    (p, track_acc, pool_acc, sed_acc), _ = jax.lax.scan(
-        body, (p, zeros, zeros, zeros), None, length=steps
+    p, (idx, d_track, d_pool, d_sed) = jax.lax.scan(
+        body, p, None, length=steps
     )
+    idx = idx.reshape(-1)
+    track_acc = zeros.reshape(-1).at[idx].add(d_track.reshape(-1)).reshape(shape)
+    pool_acc = zeros.reshape(-1).at[idx].add(d_pool.reshape(-1)).reshape(shape)
+    sed_acc = zeros.reshape(-1).at[idx].add(d_sed.reshape(-1)).reshape(shape)
     return p, track_acc, pool_acc, sed_acc

@@ -67,9 +67,26 @@ def _spread_phase(height, pool, mask, drain_particles: bool):
     n_water = [shift_clamped(pool, dr, dc) for (dr, dc) in _DIRS]
     n_current = [h + w for h, w in zip(n_height, n_water)]
 
-    # ascending argsort over the 4 neighbors per cell
-    cur = jnp.stack(n_current, 0)                      # [4, R, R]
-    order = jnp.argsort(cur, axis=0)                   # stable
+    # Ascending sort of the 4 neighbors per cell by (current, direction).
+    # A 5-comparator sorting network on elementwise (cur, h, w, dir) tuples
+    # — no argsort / take_along_axis gathers, which lower terribly on TPU
+    # (measured 6+ms per phase at 256² with the gather formulation).
+    dirs_f = [jnp.full_like(pool, float(d)) for d in range(4)]
+    items = [
+        (n_current[d], n_height[d], n_water[d], dirs_f[d]) for d in range(4)
+    ]
+
+    def cswap(a, b):
+        swap = (a[0] > b[0]) | ((a[0] == b[0]) & (a[3] > b[3]))
+        lo = tuple(jnp.where(swap, y, x) for x, y in zip(a, b))
+        hi = tuple(jnp.where(swap, x, y) for x, y in zip(a, b))
+        return lo, hi
+
+    items[0], items[1] = cswap(items[0], items[1])
+    items[2], items[3] = cswap(items[2], items[3])
+    items[0], items[2] = cswap(items[0], items[2])
+    items[1], items[3] = cswap(items[1], items[3])
+    items[1], items[2] = cswap(items[1], items[2])
 
     h_land = height
     h_water = jnp.where(active, pool, 0.0)
@@ -78,14 +95,8 @@ def _spread_phase(height, pool, mask, drain_particles: bool):
     deltas = [jnp.zeros_like(pool) for _ in range(4)]  # per-direction outflow
     drain_out = [jnp.zeros_like(pool) for _ in range(4)]
 
-    nh = jnp.stack(n_height, 0)
-    nw = jnp.stack(n_water, 0)
-
     for e in range(4):
-        sel = order[e]                                  # [R,R] direction idx
-        bh = jnp.take_along_axis(nh, sel[None], 0)[0]
-        bw = jnp.take_along_axis(nw, sel[None], 0)[0]
-        bcur = bh + bw
+        bcur, bh, bw, sel = items[e]
         diff_v = t_height - bcur
         can = active & (h_water >= 1e-3)
         is_drain = can & (bw <= 0.0) & (h_land >= bh)
@@ -104,7 +115,7 @@ def _spread_phase(height, pool, mask, drain_particles: bool):
         t_height = h_land + h_water
 
         for d in range(4):
-            hit = sel == d
+            hit = sel == float(d)
             if drain_particles:
                 deltas[d] = deltas[d] + jnp.where(
                     hit & ~is_drain, moved, 0.0
