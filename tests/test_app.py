@@ -175,3 +175,43 @@ class TestCli:
 
         with pytest.raises(SystemExit):
             build_pipeline({"stages": [{"stage": "Nope"}]})
+
+
+class TestDrawers:
+    def test_stream_drawer(self, tmp_path):
+        from noize_tpu.app.drawers import StreamDrawer
+        from noize_tpu.erosion.sim import ErosionSim
+
+        res = SMALL_META.generator_res
+        h = RNG.uniform(0, 1, (res, res)).astype(np.float32)
+        sim = ErosionSim(h, settings=SMALL_EROSION, meta=SMALL_META)
+        sim.step(1)
+        sd = StreamDrawer(sim, SMALL_META)
+        water, terrain = sd.refresh()
+        assert water.shape == (SMALL_META.tile_res, SMALL_META.tile_res, 4)
+        paths = sd.export(str(tmp_path))
+        assert all(os.path.exists(p) for p in paths)
+
+    def test_tile_drawer_from_checkpoint(self, tmp_path):
+        from noize_tpu.app.drawers import TileDrawer
+        from noize_tpu.erosion.sim import ErosionSim
+
+        sm = PipelineStateManager(str(tmp_path / "saves"), "d", "1")
+        res = SMALL_META.generator_res
+        h = RNG.uniform(0, 1, (res, res)).astype(np.float32)
+        sim = ErosionSim(h, settings=SMALL_EROSION, meta=SMALL_META,
+                         state_manager=sm, tile_pos=(1, 2))
+        sim.step(1)
+        sim.save_erosion_state()
+        # fresh manager → drawer renders from disk without a sim
+        sm2 = PipelineStateManager(str(tmp_path / "saves"), "d", "1")
+        td = TileDrawer(sm2, SMALL_META, tile_pos=(1, 2))
+        paths = td.draw(str(tmp_path / "out"))
+        assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+    def test_tile_drawer_missing(self, tmp_path):
+        from noize_tpu.app.drawers import TileDrawer
+
+        td = TileDrawer(PipelineStateManager(), SMALL_META, (9, 9))
+        with pytest.raises(FileNotFoundError):
+            td.draw(str(tmp_path))
