@@ -215,3 +215,17 @@ class TestDrawers:
         td = TileDrawer(PipelineStateManager(), SMALL_META, (9, 9))
         with pytest.raises(FileNotFoundError):
             td.draw(str(tmp_path))
+
+
+class TestPresets:
+    def test_all_presets_run(self):
+        from noize_tpu.app import presets
+        from noize_tpu.core.stageio import GeneratorData
+
+        for name in ("PerlinGenerator", "FlowMap", "Sobel"):
+            pd = presets.ALL[name]
+            out = Pipeline(list(pd.stages)).run(
+                GeneratorData(uuid=name, resolution=32,
+                              data=jnp.zeros((32, 32), jnp.float32)))
+            arr = np.asarray(out.data)
+            assert arr.shape == (32, 32) and np.all(np.isfinite(arr)), name
