@@ -222,6 +222,38 @@ class ErosionSim:
             self.cycle_count += 1
         return self.state
 
+    # --- continuous mode (LiveErosion.updateContinuous, :363-370) -----------
+
+    def trigger(self):
+        """Dispatch one CYCLES batch asynchronously; returns immediately.
+        The JAX analog of TriggerQueuedBeyerMT + erosionJobCtl.TrackJob:
+        dispatch is async, the tracker polls array readiness."""
+        from ..utils.tracking import StandAloneJobHandler
+
+        if not hasattr(self, "_job") or self._job is None:
+            self._job = StandAloneJobHandler()
+        if self._job.is_running:
+            return False
+        for _ in range(self.settings.CYCLES):
+            self.state = erosion_cycle(self.state, self.settings, self.meta)
+            self.cycle_count += 1
+        self._job.track_job(self.state)
+        return True
+
+    def update(self, continuous: bool = True):
+        """One frame tick: complete a finished batch and (in continuous
+        mode) trigger the next — the LiveErosion.Update state machine."""
+        job = getattr(self, "_job", None)
+        if job is not None and job.is_running:
+            if not job.job_complete():
+                return "running"
+            job.close_job()
+            return "completed"
+        if continuous:
+            self.trigger()
+            return "triggered"
+        return "idle"
+
     # --- resets (LiveErosion.cs:267-294) ------------------------------------
 
     def reset_land(self):

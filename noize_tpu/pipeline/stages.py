@@ -109,6 +109,38 @@ class StageGaussianBlur(Stage):
 
 
 @dataclass(frozen=True)
+class StageGaussianBlurFused(Stage):
+    """StageGaussianBlur accelerated by the Pallas VMEM-resident chain
+    (ops.pallas.stencil): all iterations in one kernel, one HBM round trip.
+    Falls back to the XLA chain off-TPU or on non-divisible resolutions."""
+
+    sigma: str = "s1d00"
+    width: int = 3
+    iterations: int = 1
+    block: int = 256
+
+    def array_fn(self, data, io=None):
+        import jax
+
+        from ..ops.pallas import stencil as _ps
+
+        if (jax.default_backend() == "tpu"
+                and data.shape[0] % self.block == 0
+                and data.shape[0] == data.shape[1]):
+            return _ps.gauss_chain(
+                data, self.width, self.sigma, self.iterations, self.block
+            )
+        for _ in range(self.iterations):
+            data = _blur.gauss_blur(data, self.width, self.sigma)
+        return data
+
+    def apply(self, work: PipelineWorkItem) -> PipelineWorkItem:
+        self.check_requirements(work, GeneratorData)
+        work.data = work.data.with_(data=self.array_fn(work.data.data))
+        return work
+
+
+@dataclass(frozen=True)
 class StageSmoothBlur(Stage):
     """Filter/Kernel/Blur/StageSmoothBlur.cs:13-55."""
 

@@ -361,3 +361,24 @@ class TestErosionCycle:
         sm2 = PipelineStateManager(str(tmp_path), "t", "1")
         restored = sm2.get_buffer(sim._buffer_name("TERRAIN_HEIGHT"))
         np.testing.assert_array_equal(np.asarray(restored), h_saved)
+
+
+class TestContinuousMode:
+    def test_trigger_update_state_machine(self):
+        es = ErosionSettings(PARTICLES_PER_CYCLE=16, MAXAGE=4, CYCLES=1,
+                             WATER_STEPS=1, PILING_RADIUS=4)
+        sim = ErosionSim(hill(16), settings=es)
+        assert sim.trigger() is True
+        assert sim.trigger() is False  # already in flight
+        # drive the frame loop until the batch lands
+        import time as _t
+        for _ in range(200):
+            status = sim.update(continuous=False)
+            if status == "completed":
+                break
+            _t.sleep(0.01)
+        assert status == "completed"
+        assert sim.cycle_count == 1
+        # continuous mode immediately retriggers
+        assert sim.update(continuous=True) == "triggered"
+        sim._job.wait()
