@@ -100,9 +100,12 @@ class WritePool {
     return t;
   }
 
-  // Block until every ticket <= `ticket` has been flushed to disk.
+  // Block until at least `ticket` writes have retired (tickets are issued
+  // sequentially, so waiting on the LAST submitted ticket == all flushed);
+  // ticket 0 waits for everything submitted so far.
   int Wait(uint64_t ticket) {
     std::unique_lock<std::mutex> g(mu_);
+    if (ticket == 0) ticket = next_ticket_ - 1;
     done_cv_.wait(g, [&] { return completed_ >= ticket; });
     int err = first_error_;
     return err;
@@ -130,8 +133,9 @@ class WritePool {
       int rc = DoWrite(job);
       {
         std::lock_guard<std::mutex> g(mu_);
-        // tickets complete in submission order per worker; track the max
-        if (job.ticket > completed_) completed_ = job.ticket;
+        // count retirements — with multiple workers tickets can finish out
+        // of order, so a max-ticket watermark would release waiters early
+        completed_ += 1;
         if (rc != 0 && first_error_ == 0) first_error_ = rc;
       }
       done_cv_.notify_all();
