@@ -53,6 +53,13 @@ def _time_fn_pipelined(fn, *args, reps: int = 5, warmup: int = 2):
     return (time.perf_counter() - t0) * 1e3 / reps
 
 
+def _safe(results, key, fn):
+    try:
+        results["configs"][key] = fn()
+    except Exception as e:  # record the failure, keep benching
+        results["configs"][key] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -77,10 +84,10 @@ def main():
     r1 = 128 if fast else 512
     f1 = jax.jit(lambda: fractal(r1, 0, 0, noise_type="Perlin", octaves=13,
                                  hurst=0.4, noise_size=1700.0))
-    ms, _ = _time_fn(f1, reps=reps)
-    results["configs"]["1_perlin_512"] = {
-        "ms": ms, "gcells_per_s": r1 * r1 / ms / 1e6,
-    }
+    def _c1():
+        ms, _ = _time_fn(f1, reps=reps)
+        return {"ms": ms, "gcells_per_s": r1 * r1 / ms / 1e6}
+    _safe(results, "1_perlin_512", _c1)
 
     # --- config 2: Simplex 13-oct + Gauss5 ×17 (README example #1) ----------
     r2 = 256 if fast else 2048
@@ -94,10 +101,10 @@ def main():
             return K.separable_series(a, taps, taps, 1.0)
         return jax.lax.fori_loop(0, 17, body, h)
 
-    ms, _ = _time_fn(f2, reps=reps)
-    results["configs"]["2_simplex_gauss5x17"] = {
-        "ms": ms, "gcells_per_s": r2 * r2 / ms / 1e6,
-    }
+    def _c2():
+        ms, _ = _time_fn(f2, reps=reps)
+        return {"ms": ms, "gcells_per_s": r2 * r2 / ms / 1e6}
+    _safe(results, "2_simplex_gauss5x17", _c2)
 
     # --- config 3: flow map on filtered 1024² -------------------------------
     r3 = 256 if fast else 1024
@@ -105,8 +112,10 @@ def main():
         lambda: fractal(r3, 0, 0, noise_type="Simplex", octaves=8,
                         hurst=0.4, noise_size=1000.0))())
     f3 = jax.jit(lambda h: FL.flow_map(h, iterations=5))
-    ms, _ = _time_fn(f3, h3, reps=reps)
-    results["configs"]["3_flowmap_1024"] = {"ms": ms}
+    def _c3():
+        ms, _ = _time_fn(f3, h3, reps=reps)
+        return {"ms": ms}
+    _safe(results, "3_flowmap_1024", _c3)
 
     # --- config 4: value erosion + Sobel2D + normalize -----------------------
     from noize_tpu.ops import filters as FI
@@ -117,8 +126,10 @@ def main():
         h = K.sobel2d(h)
         return FI.normalize(h)
 
-    ms, _ = _time_fn(f4, h3, reps=reps)
-    results["configs"]["4_value_erosion_sobel"] = {"ms": ms}
+    def _c4():
+        ms, _ = _time_fn(f4, h3, reps=reps)
+        return {"ms": ms}
+    _safe(results, "4_value_erosion_sobel", _c4)
 
     # --- config 5: 4×4 tiled multi-tile noise→erode→mesh heights -------------
     from noize_tpu.parallel import tiled as TL
@@ -138,10 +149,10 @@ def main():
     )
     origins = TL.grid_origins(meta5, 4, 4)
     f5 = jax.jit(lambda: TL.tile_batch(cfg5, origins))
-    ms, _ = _time_fn(f5, reps=max(1, reps - 2), warmup=1)
-    results["configs"]["5_multitile_4x4"] = {
-        "ms": ms, "tiles": 16, "ms_per_tile": ms / 16,
-    }
+    def _c5():
+        ms, _ = _time_fn(f5, reps=max(1, reps - 2), warmup=1)
+        return {"ms": ms, "tiles": 16, "ms_per_tile": ms / 16}
+    _safe(results, "5_multitile_4x4", _c5)
 
     # --- phase breakdown at headline size ------------------------------------
     from noize_tpu.erosion.sim import erosion_cycle, init_state
@@ -157,9 +168,15 @@ def main():
                         hurst=0.4, noise_size=1700.0))())
     phases = {}
 
+    def _phase(name, fn, *args, **kw):
+        try:
+            phases[name], _ = _time_fn(fn, *args, **kw)
+        except Exception as e:
+            phases[name] = f"error: {type(e).__name__}: {e}"[:200]
+
     f_noise = jax.jit(lambda: fractal(rb, 0, 0, noise_type="Simplex",
                                       octaves=13, hurst=0.4, noise_size=1700.0))
-    phases["noise"], _ = _time_fn(f_noise, reps=reps)
+    _phase("noise", f_noise, reps=reps)
 
     @jax.jit
     def f_blur(h):
@@ -167,13 +184,13 @@ def main():
             return K.separable_series(a, taps, taps, 1.0)
         return jax.lax.fori_loop(0, 17, body, h)
 
-    phases["blur_x17"], _ = _time_fn(f_blur, hb, reps=reps)
+    _phase("blur_x17", f_blur, hb, reps=reps)
     f_flow = jax.jit(lambda h: FL.flow_map(h, iterations=8))
-    phases["flow_x8"], _ = _time_fn(f_flow, hb, reps=reps)
+    _phase("flow_x8", f_flow, hb, reps=reps)
 
     st0 = init_state(hb, jax.random.PRNGKey(0))
     f_ero = jax.jit(lambda s: erosion_cycle(s, es_b, meta_b))
-    phases["erosion_cycle"], _ = _time_fn(f_ero, st0, reps=reps)
+    _phase("erosion_cycle", f_ero, st0, reps=reps)
 
     # erosion sub-phases (to target optimization)
     from noize_tpu.erosion import particles as PART
@@ -184,20 +201,28 @@ def main():
     w0 = WorldState.create(hb)
     f_desc = jax.jit(lambda p, w: PART.descend_all(
         p, w, es_b.as_parameters(), float(meta_b.height), meta_b.patch_res, rb))
-    phases["descent_scan"], _ = _time_fn(f_desc, parts0, w0, reps=reps)
+    _phase("descent_scan", f_desc, parts0, w0, reps=reps)
     f_pool = jax.jit(lambda h, p: POOL.pool_automata(
         h, p, iterations=es_b.WATER_STEPS, drain_particles=True))
     pool0 = jnp.zeros_like(hb) + 1e-3
-    phases["pool_automata_x10"], _ = _time_fn(f_pool, hb, pool0, reps=reps)
+    _phase("pool_automata_x10", f_pool, hb, pool0, reps=reps)
     f_thermal = jax.jit(lambda h: __import__("noize_tpu.ops.thermal", fromlist=["thermal_erosion"]).thermal_erosion(
         h, es_b.TALUS, es_b.THERMAL_STEP, float(meta_b.tile_size) / meta_b.height, iterations=es_b.THERMAL_CYCLES))
-    phases["thermal"], _ = _time_fn(f_thermal, hb, reps=reps)
+    _phase("thermal", f_thermal, hb, reps=reps)
 
     from noize_tpu.ops import mesh as MH
 
     f_mesh = jax.jit(lambda h: MH.heightmap_mesh_overshoot(
         h, meta_b.tile_res, rb, 1000.0, float(meta_b.tile_size)))
-    phases["mesh"], _ = _time_fn(f_mesh, hb, reps=reps)
+    _phase("mesh", f_mesh, hb, reps=reps)
+    try:
+        if jax.default_backend() == "tpu":
+            from noize_tpu.ops.pallas import stencil as PSM
+
+            f_pblur = jax.jit(lambda h: PSM.gauss_chain(h, 5, 1.0, 17))
+            _phase("blur_x17_pallas", f_pblur, hb, reps=reps)
+    except Exception as e:
+        phases["blur_x17_pallas"] = f"error: {type(e).__name__}: {e}"[:200]
     results["phase_breakdown"] = phases
 
     # --- headline: flagship 2048² full step ---------------------------------
@@ -212,21 +237,26 @@ def main():
         erosion_cycles=settings.CYCLES, emit_mesh=True,
     )
     key = jax.random.PRNGKey(0)
-    ms_lat, times = _time_fn(step, np.float32(0), np.float32(0), key, reps=reps)
-    ms = _time_fn_pipelined(step, np.float32(0), np.float32(0), key, reps=reps)
-    results["flagship_2048"] = {
-        "ms": ms, "latency_ms": ms_lat, "all_ms": times, "resolution": res,
-    }
+    try:
+        ms_lat, times = _time_fn(step, np.float32(0), np.float32(0), key, reps=reps)
+        ms = _time_fn_pipelined(step, np.float32(0), np.float32(0), key, reps=reps)
+        results["flagship_2048"] = {
+            "ms": ms, "latency_ms": ms_lat, "all_ms": times, "resolution": res,
+        }
+    except Exception as e:
+        results["flagship_2048"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        ms = float("nan")
 
     with open(os.path.join(os.path.dirname(__file__) or ".", "bench_results.json"), "w") as fh:
         json.dump(results, fh, indent=1)
 
     target_ms = 50.0
+    ok = ms == ms  # not NaN
     print(json.dumps({
         "metric": f"flagship {res}^2 tile: noise+gauss5x17+flow+erosion(3cyc)+mesh",
-        "value": round(ms, 3),
+        "value": round(ms, 3) if ok else -1,
         "unit": "ms",
-        "vs_baseline": round(target_ms / ms, 3),
+        "vs_baseline": round(target_ms / ms, 3) if ok else 0.0,
     }))
 
 

@@ -1,0 +1,59 @@
+"""Multi-device terrain field: one large grid sharded over a 2-D device
+mesh with ICI halo exchange (sp), plus a tile batch sharded over devices
+(dp).
+
+Run on N virtual devices:
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python examples/multichip_field.py
+"""
+
+import time
+
+import jax
+import numpy as np
+
+from noize_tpu.core.tiles import TileSetMeta
+from noize_tpu.erosion.params import ErosionSettings
+from noize_tpu.parallel import device_mesh as DM
+from noize_tpu.parallel import sharded_ops as SO
+from noize_tpu.parallel import tiled as TL
+
+
+def main():
+    print("devices:", jax.devices())
+    mesh = DM.spatial_mesh()
+    res = 1024
+
+    t0 = time.perf_counter()
+    h = SO.sharded_fractal(mesh, res, 0, 0, noise_type="Simplex",
+                           octaves=13, hurst=0.4, noise_size=1700.0)
+    h = SO.sharded_gauss_blur(mesh, h, 5, 1.0, iterations=17)
+    h = SO.sharded_thermal_erosion(mesh, h, 45.0, 0.5, 1.0, iterations=2)
+    v = SO.sharded_flow_map(mesh, h, iterations=8)
+    v.block_until_ready()
+    print(f"sp path: {res}² field over {mesh.shape} mesh "
+          f"in {(time.perf_counter()-t0)*1e3:.0f}ms; "
+          f"velocity range [{float(v.min()):.3f}, {float(v.max()):.3f}]")
+
+    bmesh = DM.batch_mesh()
+    n = len(jax.devices())
+    meta = TileSetMeta(tile_res=96, tile_size=96, generator_res=128,
+                       height=1000, margin=16)
+    cfg = TL.TilePipelineConfig(
+        meta=meta, octaves=8, noise_size=900.0, blur_iterations=5,
+        erosion=ErosionSettings(PARTICLES_PER_CYCLE=200, MAXAGE=24,
+                                CYCLES=1, WATER_STEPS=4),
+        erosion_cycles=1,
+    )
+    origins = TL.grid_origins(meta, n, 1)
+    t0 = time.perf_counter()
+    tiles = TL.tile_batch(cfg, origins, mesh=bmesh)
+    tiles.block_until_ready()
+    print(f"dp path: {n} full tiles (noise+blur+erosion) sharded over "
+          f"{n} devices in {(time.perf_counter()-t0)*1e3:.0f}ms; "
+          f"shape {tiles.shape}")
+
+
+if __name__ == "__main__":
+    main()
