@@ -210,6 +210,25 @@ def main():
         h, es_b.TALUS, es_b.THERMAL_STEP, float(meta_b.tile_size) / meta_b.height, iterations=es_b.THERMAL_CYCLES))
     _phase("thermal", f_thermal, hb, reps=reps)
 
+    # remaining erosion sub-pieces
+    from noize_tpu.erosion import sediment as SED
+    from noize_tpu.erosion import sim as SIM
+
+    sed0 = jnp.zeros_like(hb).at[100, 100].set(-0.001)
+    f_sed = jax.jit(lambda h, s: SED.write_sediment_map(
+        h, s, es_b.as_parameters(), float(meta_b.height)))
+    _phase("sediment_write", f_sed, hb, sed0, reps=reps)
+    sedp = sed0.at[200, 200].set(0.01)  # one pile > threshold
+    _phase("sediment_write_with_pile", f_sed, hb, sedp, reps=reps)
+    f_spawn = jax.jit(lambda k, d: SIM._spawn_with_drains(
+        k, es_b.PARTICLES_PER_CYCLE, rb, d))
+    _phase("spawn_with_drains", f_spawn, jax.random.PRNGKey(2),
+           jnp.zeros_like(hb), reps=reps)
+    from noize_tpu.erosion.world import update_flow_from_track
+    f_uft = jax.jit(lambda w: update_flow_from_track(
+        w, es_b.as_parameters(), float(meta_b.height)))
+    _phase("update_flow_from_track", f_uft, w0, reps=reps)
+
     from noize_tpu.ops import mesh as MH
 
     f_mesh = jax.jit(lambda h: MH.heightmap_mesh_overshoot(

@@ -169,7 +169,7 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
 
     # natural drain: argmin (first-wins) over nb, direction via WTORDER
     drain_nb_idx = jnp.argmin(nb, axis=-1).astype(jnp.int32)  # [N]
-    drain_height = jnp.take_along_axis(nb, drain_nb_idx[:, None], -1)[:, 0]
+    drain_height = jnp.min(nb, axis=-1)
     drain_ring = jnp.asarray(NB_TO_RING)[drain_nb_idx]
 
     heading = jnp.where(p.heading < 0, drain_ring, p.heading)
@@ -178,13 +178,16 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
     eff_drag = params.DRAG * (1.0 - jnp.maximum(flow_here, 0.0))
     eff_friction = params.FRICTION * (1.0 - jnp.maximum(flow_here, 0.0))
 
-    # constrained steering (ChooseHeading, :182-201)
+    # constrained steering (ChooseHeading, :182-201) — one fused [N,3] gather
     left = (heading + 7) % 8
     right = (heading + 1) % 8
     ring_to_nb = jnp.asarray(RING_TO_NB)
-    h_left = jnp.take_along_axis(nb, ring_to_nb[left][:, None], -1)[:, 0]
-    h_center = jnp.take_along_axis(nb, ring_to_nb[heading][:, None], -1)[:, 0]
-    h_right = jnp.take_along_axis(nb, ring_to_nb[right][:, None], -1)[:, 0]
+    lcr = jnp.take_along_axis(
+        nb, ring_to_nb[jnp.stack([left, heading, right], -1)], -1
+    )
+    h_left = lcr[:, 0]
+    h_center = lcr[:, 1]
+    h_right = lcr[:, 2]
     go_left = (h_left < h_center) & (h_left < h_right)
     go_right = (h_right < h_left) & (h_right < h_center)
     flow_ring = jnp.where(go_left, left, jnp.where(go_right, right, heading))

@@ -55,11 +55,43 @@ def _phase_mask(res: int, xoff: int, zoff: int):
     return m & row_active[:, None]
 
 
-def _spread_phase(height, pool, mask, drain_particles: bool):
+def _phase_mask_from_coords(grow, gcol, xoff: int, zoff: int):
+    """Same lattice from (possibly shifted) global coordinate grids —
+    used by the halo-extended pallas path."""
+    j = (grow - zoff) // 2
+    row_active = (grow % 2) == (zoff % 2)
+    col_parity = (xoff + j) % 2
+    return ((gcol % 2) == col_parity) & row_active
+
+
+def _border_maps(shape, grow=None, gcol=None, res: int = None):
+    """Bool maps marking cells on the GLOBAL border in each direction
+    (g + d out of grid → SafeIdx self-aliasing).  Local path: coords are
+    local indices."""
+    if grow is None:
+        grow = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        res_r = res_c = shape[0]
+    else:
+        res_r = res_c = res
+    return {
+        (1, 0): grow == res_r - 1,
+        (-1, 0): grow == 0,
+        (0, 1): gcol == res_c - 1,
+        (0, -1): gcol == 0,
+    }
+
+
+def _spread_phase(height, pool, mask, drain_particles: bool, border=None):
     """One phase over the whole grid (masked).  Returns (new_pool,
     drain_map) where drain_map holds water volumes dropped at drain cells
-    (to be re-emitted as particles when drain_particles is True)."""
+    (to be re-emitted as particles when drain_particles is True).
+
+    ``border``: global-border maps from _border_maps; None → the array IS
+    the whole grid."""
     res = height.shape[0]
+    if border is None:
+        border = _border_maps(height.shape)
     active = mask & (pool > 0.0)
 
     # gather neighbor land/water (phase-start snapshot)
@@ -131,9 +163,10 @@ def _spread_phase(height, pool, mask, drain_particles: bool):
     # themselves (SafeIdx aliasing) get their own transfer back.
     drain_map = jnp.zeros_like(pool)
     for d, (dr, dc) in enumerate(_DIRS):
-        new_pool = _scatter_dir(new_pool, deltas[d], dr, dc)
+        new_pool = _scatter_dir(new_pool, deltas[d], dr, dc, border[(dr, dc)])
         if drain_particles:
-            drain_map = _scatter_dir(drain_map, drain_out[d], dr, dc)
+            drain_map = _scatter_dir(drain_map, drain_out[d], dr, dc,
+                                     border[(dr, dc)])
     return new_pool, drain_map
 
 
@@ -152,21 +185,12 @@ def _shift_zero(a, dz: int, dc: int):
     return out
 
 
-def _scatter_dir(acc, delta, dr: int, dc: int):
+def _scatter_dir(acc, delta, dr: int, dc: int, border_map):
     """Add ``delta`` (giver-indexed transfers toward direction (dr, dc))
-    onto the accumulator at the clamped target cells."""
-    res = acc.shape[0]
+    onto the accumulator at the clamped target cells.  ``border_map`` marks
+    givers whose target clamps onto themselves (global border)."""
     acc = acc + _shift_zero(delta, -dr, -dc)
-    # self-aliased border band: giver + d out of grid → target is the giver
-    if dr == 1:
-        acc = acc.at[res - 1, :].add(delta[res - 1, :])
-    elif dr == -1:
-        acc = acc.at[0, :].add(delta[0, :])
-    if dc == 1:
-        acc = acc.at[:, res - 1].add(delta[:, res - 1])
-    elif dc == -1:
-        acc = acc.at[:, 0].add(delta[:, 0])
-    return acc
+    return acc + jnp.where(border_map, delta, 0.0)
 
 
 @partial(jax.jit, static_argnames=("iterations", "drain_particles"))

@@ -121,11 +121,20 @@ def write_sediment_map(height, sed_acc, params, height_scale):
 
     with thresh = PILE_THRESHOLD / HEIGHT, then the [0,1] breaker.
     """
+    import jax
+
     thresh = params.PILE_THRESHOLD / height_scale
     disperse_part = jnp.where(sed_acc <= thresh, sed_acc, 0.0)
     pile_part = jnp.where(sed_acc > thresh, sed_acc, 0.0)
     delta = kernel_disperse(disperse_part, KERNEL5)
-    delta = delta + pile_deposit(pile_part, params.PILING_RADIUS)
+    # piles are rare (a cell must accumulate > PILE_THRESHOLD metres in one
+    # cycle); skip the wide cone convolution entirely when none exist
+    delta = delta + jax.lax.cond(
+        jnp.any(pile_part > 0.0),
+        lambda p: pile_deposit(p, params.PILING_RADIUS),
+        lambda p: jnp.zeros_like(p),
+        pile_part,
+    )
     new_height = height + delta
     # bad build breaker (LiveErosionComponents.cs:145-146)
     ok = (new_height >= 0.0) & (new_height <= 1.0)

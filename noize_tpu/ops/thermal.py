@@ -156,6 +156,10 @@ def thermal_erosion(
 
     ``talus`` in degrees; ``increment_ratio`` = THERMAL_STEP;
     ``height_width_ratio`` = TILE_SIZE / HEIGHT (LiveErosion.cs:385).
+
+    Uses the mask/role phase formulation: the strided-slice variant's
+    stride-2 scatters cost ~75ms/phase at 2048² on TPU, the elementwise
+    masked variant is bandwidth-bound (~2ms/phase).
     """
     res = data.shape[0]
     talus_rad = (talus / 90.0) * 3.14159 / 2.0
@@ -164,7 +168,7 @@ def thermal_erosion(
 
     def one_iter(_, d):
         for (x0, z0) in _PHASE_OFFSETS:
-            d = _phase(d, x0, z0, max_diff, increment)
+            d = thermal_phase_masked(d, x0, z0, 0, 0, res, max_diff, increment)
         return d
 
     if iterations == 1:
