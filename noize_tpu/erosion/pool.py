@@ -193,6 +193,148 @@ def _scatter_dir(acc, delta, dr: int, dc: int, border_map):
     return acc + jnp.where(border_map, delta, 0.0)
 
 
+def _halfrow_views(full, zoff: int):
+    """Split (R, R) into active rows [zoff::2] and complementary rows via a
+    dense reshape-slice (no sublane-strided memory ops)."""
+    r = full.shape[0]
+    x = full.reshape(r // 2, 2, r)
+    return x[:, zoff, :], x[:, 1 - zoff, :]
+
+
+def _halfrow_join(active, comp, zoff: int):
+    r2, r = active.shape
+    pair = (active, comp) if zoff == 0 else (comp, active)
+    return jnp.stack(pair, axis=1).reshape(2 * r2, r)
+
+
+def _spread_phase_halfrow(height, pool, xoff: int, zoff: int,
+                          drain_particles: bool):
+    """_spread_phase restricted to the phase's active rows (split/join at
+    the boundary — used for testing; pool_automata threads the row pair
+    through all phases instead, see _phase_pair)."""
+    a_h, c_h = _halfrow_views(height, zoff)
+    a_p, c_p = _halfrow_views(pool, zoff)
+    new_a, new_c, da, dc = _phase_pair(
+        a_h, c_h, a_p, c_p, xoff, zoff, drain_particles, height.shape[0]
+    )
+    new_pool = _halfrow_join(new_a, new_c, zoff)
+    drain_map = _halfrow_join(da, dc, zoff)
+    return new_pool, drain_map
+
+
+def _phase_pair(a_h, c_h, a_p, c_p, xoff: int, zoff: int,
+                drain_particles: bool, res: int):
+    """One phase on the (active, complement) row-lattice pair.
+
+    ``a_*`` are the ACTIVE rows for this phase (z ≡ zoff mod 2), ``c_*``
+    the complementary rows.  Returns (new_active_pool, new_comp_pool,
+    drain_active, drain_comp) — no full-grid join, so consecutive phases
+    chain without reshape churn (composing split→join per phase made XLA's
+    simplifier blow up compile time)."""
+    r2 = a_p.shape[0]
+
+    # column-parity mask per lattice row j (global z = 2j + zoff)
+    j = jax.lax.broadcasted_iota(jnp.int32, a_p.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, a_p.shape, 1)
+    mask = (col % 2) == ((xoff + j) % 2)
+    active = mask & (a_p > 0.0)
+
+    # vertical neighbors from the complementary lattice (clamped at the
+    # global border by substituting the active row itself — SafeIdx alias)
+    if zoff == 0:
+        up_h, up_p = c_h, c_p                                    # z+1 = C[j]
+        down_h = jnp.concatenate([a_h[:1], c_h[:-1]], 0)          # z-1; j=0 self
+        down_p = jnp.concatenate([a_p[:1], c_p[:-1]], 0)
+    else:
+        up_h = jnp.concatenate([c_h[1:], a_h[-1:]], 0)            # z+1; last self
+        up_p = jnp.concatenate([c_p[1:], a_p[-1:]], 0)
+        down_h, down_p = c_h, c_p                                 # z-1 = C[j]
+
+    n_height = [up_h, shift_clamped(a_h, 0, 1), down_h, shift_clamped(a_h, 0, -1)]
+    n_water = [up_p, shift_clamped(a_p, 0, 1), down_p, shift_clamped(a_p, 0, -1)]
+
+    items = [
+        (n_height[d] + n_water[d], n_height[d], n_water[d],
+         jnp.full_like(a_p, float(d)))
+        for d in range(4)
+    ]
+
+    def cswap(a, b):
+        swap = (a[0] > b[0]) | ((a[0] == b[0]) & (a[3] > b[3]))
+        lo = tuple(jnp.where(swap, y, x) for x, y in zip(a, b))
+        hi = tuple(jnp.where(swap, x, y) for x, y in zip(a, b))
+        return lo, hi
+
+    items[0], items[1] = cswap(items[0], items[1])
+    items[2], items[3] = cswap(items[2], items[3])
+    items[0], items[2] = cswap(items[0], items[2])
+    items[1], items[3] = cswap(items[1], items[3])
+    items[1], items[2] = cswap(items[1], items[2])
+
+    h_land = a_h
+    h_water = jnp.where(active, a_p, 0.0)
+    t_height = h_land + h_water
+    deltas = [jnp.zeros_like(a_p) for _ in range(4)]
+    drain_out = [jnp.zeros_like(a_p) for _ in range(4)]
+
+    for e in range(4):
+        bcur, bh, bw, sel = items[e]
+        diff_v = t_height - bcur
+        can = active & (h_water >= 1e-3)
+        is_drain = can & (bw <= 0.0) & (h_land >= bh)
+        give = can & ~is_drain & (diff_v > 0.0) & (h_water > 0.0)
+        take = can & ~is_drain & (diff_v < 0.0) & (bw > 0.0)
+        fill_give = jnp.minimum(0.25 * h_water, 0.25 * diff_v)
+        fill_take = jnp.minimum(0.25 * bw, -0.25 * diff_v)
+        moved = (
+            jnp.where(is_drain, h_water, 0.0)
+            + jnp.where(give, fill_give, 0.0)
+            - jnp.where(take, fill_take, 0.0)
+        )
+        h_water = h_water - moved
+        t_height = h_land + h_water
+        for d in range(4):
+            hit = sel == float(d)
+            if drain_particles:
+                deltas[d] = deltas[d] + jnp.where(hit & ~is_drain, moved, 0.0)
+                drain_out[d] = drain_out[d] + jnp.where(hit & is_drain, moved, 0.0)
+            else:
+                deltas[d] = deltas[d] + jnp.where(hit, moved, 0.0)
+
+    # global-border self-return bands on the lattice
+    border_up = ((zoff == 1) & (j == r2 - 1))
+    border_down = ((zoff == 0) & (j == 0))
+    border_right = col == res - 1
+    border_left = col == 0
+
+    def scatter(a_acc, c_acc, dl):
+        # left/right stay on the active lattice
+        a_acc = a_acc + _shift_zero(dl[1], 0, -1) + jnp.where(border_right, dl[1], 0.0)
+        a_acc = a_acc + _shift_zero(dl[3], 0, 1) + jnp.where(border_left, dl[3], 0.0)
+        # up (d=0): zoff=0 → C[j]; zoff=1 → C[j+1] (+ border self-return)
+        if zoff == 0:
+            c_acc = c_acc + dl[0]
+        else:
+            c_acc = c_acc + _shift_zero(dl[0], -1, 0)
+            a_acc = a_acc + jnp.where(border_up, dl[0], 0.0)
+        # down (d=2): zoff=0 → C[j-1] (+ border); zoff=1 → C[j]
+        if zoff == 0:
+            c_acc = c_acc + _shift_zero(dl[2], 1, 0)
+            a_acc = a_acc + jnp.where(border_down, dl[2], 0.0)
+        else:
+            c_acc = c_acc + dl[2]
+        return a_acc, c_acc
+
+    new_a = jnp.where(active, h_water, a_p)
+    new_a, new_c = scatter(new_a, c_p, deltas)
+    if drain_particles:
+        da, dc = scatter(jnp.zeros_like(a_p), jnp.zeros_like(c_p), drain_out)
+    else:
+        da = jnp.zeros_like(a_p)
+        dc = jnp.zeros_like(c_p)
+    return new_a, new_c, da, dc
+
+
 @partial(jax.jit, static_argnames=("iterations", "drain_particles"))
 def pool_automata(height, pool, iterations: int = 10, drain_particles: bool = True):
     """PoolAutomataJob.Schedule parity: iterations × 4 phases
@@ -200,19 +342,75 @@ def pool_automata(height, pool, iterations: int = 10, drain_particles: bool = Tr
     314-324).  Returns (pool, drain_map) — drain_map accumulates water
     volumes at drain sites across all phases for particle re-emission."""
     res = height.shape[0]
-    masks = [
-        _phase_mask(res, xoff, zoff) for xoff in (0, 1) for zoff in (0, 1)
-    ]
-    drain_total = jnp.zeros_like(pool)
+    if res % 2:
+        # odd grids can't split into even/odd row lattices — use the
+        # full-grid masked phases (reference grids are even-sized)
+        return _pool_automata_fullgrid(height, pool, iterations, drain_particles)
+    # split rows once; phases alternate which lattice is active, threading
+    # the (even, odd) pair end-to-end (join only at the very end)
+    h_even, h_odd = _halfrow_views(height, 0)
+    p_even, p_odd = _halfrow_views(pool, 0)
+    d_even = jnp.zeros_like(p_even)
+    d_odd = jnp.zeros_like(p_odd)
 
-    def one_iter(carry, _):
-        pool, drain_total = carry
-        for m in masks:
-            pool, dm = _spread_phase(height, pool, m, drain_particles)
-            drain_total = drain_total + dm
-        return (pool, drain_total), None
+    # One phase per scan step, selected by lax.switch: XLA's optimizer cost
+    # grows super-linearly when several phases are unrolled into one body
+    # (the 4-phase body took minutes to compile on CPU; four 1-phase
+    # branches compile in seconds).  Phase order (xoff, zoff) nesting parity
+    # with MultiThreadErosionJob.cs:314-324.
+    def make_branch(xoff, zoff):
+        if zoff == 0:
+            def br(c):
+                p_even, p_odd, d_even, d_odd = c
+                p_even, p_odd, da, dc = _phase_pair(
+                    h_even, h_odd, p_even, p_odd, xoff, 0,
+                    drain_particles, res)
+                return (p_even, p_odd, d_even + da, d_odd + dc)
+        else:
+            def br(c):
+                p_even, p_odd, d_even, d_odd = c
+                p_odd, p_even, da, dc = _phase_pair(
+                    h_odd, h_even, p_odd, p_even, xoff, 1,
+                    drain_particles, res)
+                return (p_even, p_odd, d_even + dc, d_odd + da)
+        return br
 
-    (pool, drain_total), _ = jax.lax.scan(
-        one_iter, (pool, drain_total), None, length=iterations
+    branches = [make_branch(xo, zo) for xo in (0, 1) for zo in (0, 1)]
+
+    def step(carry, t):
+        return jax.lax.switch(t % 4, branches, carry), None
+
+    (p_even, p_odd, d_even, d_odd), _ = jax.lax.scan(
+        step, (p_even, p_odd, d_even, d_odd),
+        jnp.arange(4 * iterations, dtype=jnp.int32),
     )
-    return pool, drain_total
+    return (
+        _halfrow_join(p_even, p_odd, 0),
+        _halfrow_join(d_even, d_odd, 0),
+    )
+
+
+def _pool_automata_fullgrid(height, pool, iterations: int,
+                            drain_particles: bool):
+    """Full-grid masked fallback (odd resolutions); one phase per scan step
+    via lax.switch, same compile-cost reasoning as the half-row path."""
+    res = height.shape[0]
+    masks = [_phase_mask(res, xo, zo) for xo in (0, 1) for zo in (0, 1)]
+
+    def make_branch(i):
+        def br(c):
+            pool, drains = c
+            p2, dm = _spread_phase(height, pool, masks[i], drain_particles)
+            return (p2, drains + dm)
+        return br
+
+    branches = [make_branch(i) for i in range(4)]
+
+    def step(carry, t):
+        return jax.lax.switch(t % 4, branches, carry), None
+
+    (pool, drains), _ = jax.lax.scan(
+        step, (pool, jnp.zeros_like(pool)),
+        jnp.arange(4 * iterations, dtype=jnp.int32),
+    )
+    return pool, drains

@@ -29,16 +29,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fixup(buf, axis, lo_idx, hi_idx, is_lo, is_hi, size):
+def _fixup(buf, axis, lo_idx: int, hi_idx: int, is_lo, is_hi, size):
     """Re-replicate the true global edge across the halo margin (the
-    per-iteration clamp semantics) for blocks on the global border."""
+    per-iteration clamp semantics) for blocks on the global border.
+    ``lo_idx``/``hi_idx`` are static — use static slices (Mosaic has no
+    dynamic_slice lowering on the TC path)."""
     idx = jax.lax.broadcasted_iota(jnp.int32, buf.shape, axis)
-    if axis == 0:
-        lo_row = jax.lax.dynamic_slice_in_dim(buf, lo_idx, 1, 0)
-        hi_row = jax.lax.dynamic_slice_in_dim(buf, hi_idx, 1, 0)
-    else:
-        lo_row = jax.lax.dynamic_slice_in_dim(buf, lo_idx, 1, 1)
-        hi_row = jax.lax.dynamic_slice_in_dim(buf, hi_idx, 1, 1)
+    lo_row = jax.lax.slice_in_dim(buf, lo_idx, lo_idx + 1, axis=axis)
+    hi_row = jax.lax.slice_in_dim(buf, hi_idx, hi_idx + 1, axis=axis)
     buf = jnp.where(is_lo & (idx < lo_idx), lo_row, buf)
     buf = jnp.where(is_hi & (idx > hi_idx), hi_row, buf)
     return buf

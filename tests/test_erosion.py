@@ -382,3 +382,25 @@ class TestContinuousMode:
         # continuous mode immediately retriggers
         assert sim.update(continuous=True) == "triggered"
         sim._job.wait()
+
+
+class TestHalfRowPhase:
+    def test_matches_full_phase(self):
+        res = 16
+        height = RNG.uniform(0, 0.5, (res, res)).astype(np.float32)
+        pool = RNG.uniform(0, 0.05, (res, res)).astype(np.float32)
+        pool[pool < 0.02] = 0.0
+        for xoff in (0, 1):
+            for zoff in (0, 1):
+                for dp in (True, False):
+                    mask = PO._phase_mask(res, xoff, zoff)
+                    wp, wd = PO._spread_phase(
+                        jnp.asarray(height), jnp.asarray(pool), mask, dp)
+                    gp, gd = PO._spread_phase_halfrow(
+                        jnp.asarray(height), jnp.asarray(pool), xoff, zoff, dp)
+                    np.testing.assert_allclose(
+                        np.asarray(gp), np.asarray(wp), atol=1e-6,
+                        err_msg=f"pool x{xoff} z{zoff} dp={dp}")
+                    np.testing.assert_allclose(
+                        np.asarray(gd), np.asarray(wd), atol=1e-6,
+                        err_msg=f"drain x{xoff} z{zoff} dp={dp}")
