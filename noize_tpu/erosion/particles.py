@@ -170,7 +170,8 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
     # natural drain: argmin (first-wins) over nb, direction via WTORDER
     drain_nb_idx = jnp.argmin(nb, axis=-1).astype(jnp.int32)  # [N]
     drain_height = jnp.min(nb, axis=-1)
-    drain_ring = jnp.asarray(NB_TO_RING)[drain_nb_idx]
+    # NB_TO_RING = [0,2,4,6,1,3,5,7] arithmetically (no table gather)
+    drain_ring = (drain_nb_idx % 4) * 2 + drain_nb_idx // 4
 
     heading = jnp.where(p.heading < 0, drain_ring, p.heading)
 
@@ -178,13 +179,12 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
     eff_drag = params.DRAG * (1.0 - jnp.maximum(flow_here, 0.0))
     eff_friction = params.FRICTION * (1.0 - jnp.maximum(flow_here, 0.0))
 
-    # constrained steering (ChooseHeading, :182-201) — one fused [N,3] gather
+    # constrained steering (ChooseHeading, :182-201) — one fused [N,3] gather;
+    # RING_TO_NB = [0,4,1,5,2,6,3,7] arithmetically: nb = ring//2 + 4·(ring&1)
     left = (heading + 7) % 8
     right = (heading + 1) % 8
-    ring_to_nb = jnp.asarray(RING_TO_NB)
-    lcr = jnp.take_along_axis(
-        nb, ring_to_nb[jnp.stack([left, heading, right], -1)], -1
-    )
+    rings3 = jnp.stack([left, heading, right], -1)
+    lcr = jnp.take_along_axis(nb, rings3 // 2 + 4 * (rings3 % 2), -1)
     h_left = lcr[:, 0]
     h_center = lcr[:, 1]
     h_right = lcr[:, 2]
@@ -212,10 +212,9 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
     new_ring = jnp.where(take_heading, flow_ring, drain_ring)
     h_diff = jnp.where(take_heading, h_diff, drain_h_diff)
 
-    dr = jnp.asarray(RING_DR)[new_ring].astype(_F32)
-    dc = jnp.asarray(RING_DC)[new_ring].astype(_F32)
-    new_row = p.row + dr
-    new_col = p.col + dc
+    drdc = jnp.asarray(np.stack([RING_DR, RING_DC], 1), _F32)[new_ring]
+    new_row = p.row + drdc[:, 0]
+    new_col = p.col + drdc[:, 1]
 
     # out-of-bounds death loses everything (:351-357)
     nri = jnp.round(new_row).astype(jnp.int32)
