@@ -134,7 +134,13 @@ def main(argv=None):
             cfg = dict(DEMO_CONFIG, resolution=args.resolution)
             cfg["stages"] = cfg["stages"][:2]  # noise + blur, keep heights
         arr = _run(cfg, args.outdir, "terrain")
-        sim = ErosionSim(arr, settings=ErosionSettings())
+        es_kwargs = cfg.get("erosion", {})
+        if "BEHAVIOR" in es_kwargs:
+            from ..erosion.params import ErosionMode
+
+            es_kwargs = dict(es_kwargs,
+                             BEHAVIOR=ErosionMode[es_kwargs["BEHAVIOR"]])
+        sim = ErosionSim(arr, settings=ErosionSettings(**es_kwargs))
         t0 = time.perf_counter()
         sim.step(args.cycles)
         np.asarray(sim.height_map)
