@@ -378,7 +378,16 @@ def pool_automata(height, pool, iterations: int = 10, drain_particles: bool = Tr
     branches = [make_branch(xo, zo) for xo in (0, 1) for zo in (0, 1)]
 
     def step(carry, t):
-        return jax.lax.switch(t % 4, branches, carry), None
+        # coarse form of the reference's per-cell `pool > 0` gate
+        # (MultiThreadErosionJob.cs:284): a dry grid skips the phase body
+        has_water = jnp.any(carry[0] > 0.0) | jnp.any(carry[1] > 0.0)
+        out = jax.lax.cond(
+            has_water,
+            lambda c: jax.lax.switch(t % 4, branches, c),
+            lambda c: c,
+            carry,
+        )
+        return out, None
 
     (p_even, p_odd, d_even, d_odd), _ = jax.lax.scan(
         step, (p_even, p_odd, d_even, d_odd),
