@@ -1,0 +1,126 @@
+"""Pallas TPU kernel for pool-automata phases.
+
+The XLA half-row formulation still round-trips HBM ~dozens of times per
+phase (measured ~1.2ms/phase at 2048²).  This kernel runs one phase per
+pallas_call over full-width row blocks with a 1-row halo, VMEM-resident:
+per phase the map is read once and written once.
+
+Shares the exact phase semantics with erosion.pool._spread_phase (masks,
+sorted neighbor walk, border self-aliasing) — the kernel calls the same
+function on its window with global-coordinate masks/border maps;
+equivalence is tested against the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import pool as _pool
+
+_F32 = jnp.float32
+
+
+def _phase_call(height_pad, pool_pad, xoff: int, zoff: int,
+                drain_particles: bool, res: int, block: int):
+    """One phase over the padded (res+2, res) maps → (new_pool, drains)."""
+    nblk = res // block
+    w = block + 4  # 2-row halo each side: core deltas come from givers one
+    # row out, whose neighbor walk reaches two rows out
+
+    def kernel(h_hbm, p_hbm, pool_o, drain_o, h_s, p_s, sem):
+        i = pl.program_id(0)
+        cp1 = pltpu.make_async_copy(
+            h_hbm.at[pl.ds(i * block, w), :], h_s, sem
+        )
+        cp1.start()
+        cp1.wait()
+        cp2 = pltpu.make_async_copy(
+            p_hbm.at[pl.ds(i * block, w), :], p_s, sem
+        )
+        cp2.start()
+        cp2.wait()
+        # global coords of the window rows: padded row r ↔ global r - 1
+        grow = (
+            jax.lax.broadcasted_iota(jnp.int32, (w, res), 0)
+            + i * block - 2
+        )
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (w, res), 1)
+        mask = _pool._phase_mask_from_coords(grow, gcol, xoff, zoff)
+        mask = mask & (grow >= 0) & (grow < res)  # pad rows are ghosts
+        border = _pool._border_maps((w, res), grow, gcol, res)
+        new_p, dm = _pool._spread_phase(
+            h_s[:], p_s[:], mask, drain_particles, border=border
+        )
+        pool_o[:] = new_p[2:block + 2, :]
+        drain_o[:] = dm[2:block + 2, :]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, res), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, res), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((res, res), _F32),
+            jax.ShapeDtypeStruct((res, res), _F32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((w, res), _F32),
+            pltpu.VMEM((w, res), _F32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(height_pad, pool_pad)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "drain_particles", "block")
+)
+def pool_automata_pallas(height, pool, iterations: int = 10,
+                         drain_particles: bool = True, block: int = 256):
+    """pool_automata with pallas phase kernels.  Requires res % block == 0
+    and res a multiple of 8/128 tiling (production grids are)."""
+    res = height.shape[0]
+    height_pad = jnp.pad(height, ((2, 2), (0, 0)), mode="edge")
+
+    def one_phase(pool, xoff, zoff):
+        pool_pad = jnp.pad(pool, ((2, 2), (0, 0)), mode="edge")
+        return _phase_call(
+            height_pad, pool_pad, xoff, zoff, drain_particles, res, block
+        )
+
+    branches = [
+        (lambda xo, zo: (lambda c: (
+            lambda out: (out[0], c[1] + out[1])
+        )(one_phase(c[0], xo, zo))))(xo, zo)
+        for xo in (0, 1) for zo in (0, 1)
+    ]
+
+    def step(carry, t):
+        has_water = jnp.any(carry[0] > 0.0)
+        out = jax.lax.cond(
+            has_water,
+            lambda c: jax.lax.switch(t % 4, branches, c),
+            lambda c: c,
+            carry,
+        )
+        return out, None
+
+    (pool, drains), _ = jax.lax.scan(
+        step, (pool, jnp.zeros_like(pool)),
+        jnp.arange(4 * iterations, dtype=jnp.int32),
+    )
+    return pool, drains

@@ -157,13 +157,26 @@ def erosion_cycle(state: SimState, settings: ErosionSettings, meta: TileSetMeta)
     # 6. track → flow decay + surface evaporation (UpdateFlowFromTrackJob)
     world = update_flow_from_track(world, params, height_scale)
 
-    # 7. pool automata (PoolAutomataJob)
-    pool, drains = pool_automata(
-        world.height,
-        world.pool,
-        iterations=settings.WATER_STEPS,
-        drain_particles=behavior != ErosionMode.ONLY_FLOW_WATER,
-    )
+    # 7. pool automata (PoolAutomataJob) — pallas VMEM-resident phases on
+    # TPU at production sizes, XLA half-row path elsewhere
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu" and res % 256 == 0:
+        from .pool_pallas import pool_automata_pallas
+
+        pool, drains = pool_automata_pallas(
+            world.height,
+            world.pool,
+            iterations=settings.WATER_STEPS,
+            drain_particles=behavior != ErosionMode.ONLY_FLOW_WATER,
+        )
+    else:
+        pool, drains = pool_automata(
+            world.height,
+            world.pool,
+            iterations=settings.WATER_STEPS,
+            drain_particles=behavior != ErosionMode.ONLY_FLOW_WATER,
+        )
     world = replace(world, pool=pool)
     drain_water = drain_water + drains
 
