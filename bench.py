@@ -206,6 +206,12 @@ def main():
         h, p, iterations=es_b.WATER_STEPS, drain_particles=True))
     pool0 = jnp.zeros_like(hb) + 1e-3
     _phase("pool_automata_x10", f_pool, hb, pool0, reps=reps)
+    if jax.default_backend() == "tpu" and rb % 256 == 0:
+        from noize_tpu.erosion import pool_pallas as POOLP
+
+        f_poolp = jax.jit(lambda h, p: POOLP.pool_automata_pallas(
+            h, p, iterations=es_b.WATER_STEPS, drain_particles=True))
+        _phase("pool_automata_x10_pallas", f_poolp, hb, pool0, reps=reps)
     f_thermal = jax.jit(lambda h: __import__("noize_tpu.ops.thermal", fromlist=["thermal_erosion"]).thermal_erosion(
         h, es_b.TALUS, es_b.THERMAL_STEP, float(meta_b.tile_size) / meta_b.height, iterations=es_b.THERMAL_CYCLES))
     _phase("thermal", f_thermal, hb, reps=reps)

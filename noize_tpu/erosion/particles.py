@@ -274,36 +274,60 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
 
 
 def descend_all(p: Particles, state: WorldState, params, height_scale,
-                patch_res, res: int, max_steps: int = None):
+                patch_res, res: int, max_steps: int = None,
+                chunk: int = 8):
     """Run the full descent loop; returns accumulated event maps.
 
     The reference loop runs until every particle dies; the age cap MAXAGE
     bounds it, so ``MAXAGE + 1`` scan steps cover every trajectory (the +1
     delivers the old-age death payout).
+
+    Structure: while_loop over ``chunk``-step scan chunks with an
+    all-dead early exit (the reference's per-particle loops end on death;
+    most trajectories are much shorter than MAXAGE, and dead particles
+    emit nothing, so skipping trailing chunks is exact).  Events reduce
+    with one scatter-add per chunk — hundreds of per-step scatters
+    dominated the scan otherwise.
     """
     steps = (params.MAXAGE + 1) if max_steps is None else max_steps
+    n_chunks = -(-steps // chunk)
     shape = state.height.shape
-    zeros = jnp.zeros(shape, _F32)
+    zeros = jnp.zeros(shape[0] * shape[1], _F32)
     # world maps are invariant across the descent — compute once, not per
     # scan step (the dominant cost at production resolutions otherwise)
     wih_map = height_scale * (state.height + state.pool)
     all_h = wih_map + params.FLOW_HEIGHT_CONTRIBUTION * state.flow
     maps = (wih_map, all_h)
 
-    def body(part, _):
+    def step_body(part, _):
         part, ev = descend_step(
             part, state, params, height_scale, patch_res, res, maps=maps
         )
-        # emit the step's events; the scatter-add reduce happens ONCE after
-        # the scan (one big scatter beats MAXAGE tiny ones on TPU)
         flat = (ev["row"] * res + ev["col"]).astype(jnp.int32)
         return part, (flat, ev["d_track"], ev["d_pool"], ev["d_sed"])
 
-    p, (idx, d_track, d_pool, d_sed) = jax.lax.scan(
-        body, p, None, length=steps
+    def chunk_body(carry):
+        part, track, pool_, sed, k = carry
+        part, (idx, dt, dp_, ds) = jax.lax.scan(
+            step_body, part, None, length=chunk
+        )
+        idx = idx.reshape(-1)
+        track = track.at[idx].add(dt.reshape(-1))
+        pool_ = pool_.at[idx].add(dp_.reshape(-1))
+        sed = sed.at[idx].add(ds.reshape(-1))
+        return part, track, pool_, sed, k + 1
+
+    def chunk_cond(carry):
+        part, _, _, _, k = carry
+        return (k < n_chunks) & jnp.any(part.alive)
+
+    p, track_acc, pool_acc, sed_acc, _ = jax.lax.while_loop(
+        chunk_cond, chunk_body,
+        (p, zeros, zeros, zeros, jnp.int32(0)),
     )
-    idx = idx.reshape(-1)
-    track_acc = zeros.reshape(-1).at[idx].add(d_track.reshape(-1)).reshape(shape)
-    pool_acc = zeros.reshape(-1).at[idx].add(d_pool.reshape(-1)).reshape(shape)
-    sed_acc = zeros.reshape(-1).at[idx].add(d_sed.reshape(-1)).reshape(shape)
-    return p, track_acc, pool_acc, sed_acc
+    return (
+        p,
+        track_acc.reshape(shape),
+        pool_acc.reshape(shape),
+        sed_acc.reshape(shape),
+    )

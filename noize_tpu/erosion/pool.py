@@ -171,17 +171,21 @@ def _spread_phase(height, pool, mask, drain_particles: bool, border=None):
 
 
 def _shift_zero(a, dz: int, dc: int):
-    """out[r] = a[r + (dz, dc)] with zeros outside."""
-    h, w = a.shape
+    """out[r] = a[r + (dz, dc)] with zeros outside.  Concatenated slices,
+    not jnp.pad — Mosaic-safe (see ops.flow.shift_clamped)."""
     out = a
     if dz > 0:
-        out = jnp.pad(out, ((0, dz), (0, 0)))[dz:, :]
+        z = jnp.zeros((dz,) + out.shape[1:], out.dtype)
+        out = jnp.concatenate([out[dz:, :], z], axis=0)
     elif dz < 0:
-        out = jnp.pad(out, ((-dz, 0), (0, 0)))[:h, :]
+        z = jnp.zeros((-dz,) + out.shape[1:], out.dtype)
+        out = jnp.concatenate([z, out[:dz, :]], axis=0)
     if dc > 0:
-        out = jnp.pad(out, ((0, 0), (0, dc)))[:, dc:]
+        z = jnp.zeros(out.shape[:1] + (dc,), out.dtype)
+        out = jnp.concatenate([out[:, dc:], z], axis=1)
     elif dc < 0:
-        out = jnp.pad(out, ((0, 0), (-dc, 0)))[:, :w]
+        z = jnp.zeros(out.shape[:1] + (-dc,), out.dtype)
+        out = jnp.concatenate([z, out[:, :dc]], axis=1)
     return out
 
 

@@ -31,8 +31,10 @@ def _phase_call(height_pad, pool_pad, xoff: int, zoff: int,
                 drain_particles: bool, res: int, block: int):
     """One phase over the padded (res+2, res) maps → (new_pool, drains)."""
     nblk = res // block
-    w = block + 4  # 2-row halo each side: core deltas come from givers one
-    # row out, whose neighbor walk reaches two rows out
+    # 4-row halo each side: correctness needs 2 (core deltas come from
+    # 1-out givers whose neighbor walk reaches 2 out); 4 keeps the DMA
+    # window (block+8) aligned to the (8, 128) f32 tiling
+    w = block + 8
 
     def kernel(h_hbm, p_hbm, pool_o, drain_o, h_s, p_s, sem):
         i = pl.program_id(0)
@@ -49,7 +51,7 @@ def _phase_call(height_pad, pool_pad, xoff: int, zoff: int,
         # global coords of the window rows: padded row r ↔ global r - 1
         grow = (
             jax.lax.broadcasted_iota(jnp.int32, (w, res), 0)
-            + i * block - 2
+            + i * block - 4
         )
         gcol = jax.lax.broadcasted_iota(jnp.int32, (w, res), 1)
         mask = _pool._phase_mask_from_coords(grow, gcol, xoff, zoff)
@@ -58,8 +60,8 @@ def _phase_call(height_pad, pool_pad, xoff: int, zoff: int,
         new_p, dm = _pool._spread_phase(
             h_s[:], p_s[:], mask, drain_particles, border=border
         )
-        pool_o[:] = new_p[2:block + 2, :]
-        drain_o[:] = dm[2:block + 2, :]
+        pool_o[:] = new_p[4:block + 4, :]
+        drain_o[:] = dm[4:block + 4, :]
 
     return pl.pallas_call(
         kernel,
@@ -83,6 +85,9 @@ def _phase_call(height_pad, pool_pad, xoff: int, zoff: int,
             pltpu.VMEM((w, res), _F32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(height_pad, pool_pad)
 
 
@@ -94,10 +99,10 @@ def pool_automata_pallas(height, pool, iterations: int = 10,
     """pool_automata with pallas phase kernels.  Requires res % block == 0
     and res a multiple of 8/128 tiling (production grids are)."""
     res = height.shape[0]
-    height_pad = jnp.pad(height, ((2, 2), (0, 0)), mode="edge")
+    height_pad = jnp.pad(height, ((4, 4), (0, 0)), mode="edge")
 
     def one_phase(pool, xoff, zoff):
-        pool_pad = jnp.pad(pool, ((2, 2), (0, 0)), mode="edge")
+        pool_pad = jnp.pad(pool, ((4, 4), (0, 0)), mode="edge")
         return _phase_call(
             height_pad, pool_pad, xoff, zoff, drain_particles, res, block
         )

@@ -37,16 +37,22 @@ WATER_INIT = 1e-4  # FlowMapStage.cs:129
 
 
 def shift_clamped(a, dz: int, dx: int):
-    """out[z, x] = a[clamp(z + dz), clamp(x + dx)] — edge-replicated shift."""
-    h, w = a.shape
+    """out[z, x] = a[clamp(z + dz), clamp(x + dx)] — edge-replicated shift.
+
+    Built from concatenated slices (not jnp.pad): pad's lowering emits
+    zero-sized intermediates that Mosaic rejects inside pallas kernels."""
     if dz > 0:
-        a = jnp.pad(a, ((0, dz), (0, 0)), mode="edge")[dz:, :]
+        rep = jnp.broadcast_to(a[-1:, :], (dz,) + a.shape[1:])
+        a = jnp.concatenate([a[dz:, :], rep], axis=0)
     elif dz < 0:
-        a = jnp.pad(a, ((-dz, 0), (0, 0)), mode="edge")[:h, :]
+        rep = jnp.broadcast_to(a[:1, :], (-dz,) + a.shape[1:])
+        a = jnp.concatenate([rep, a[:dz, :]], axis=0)
     if dx > 0:
-        a = jnp.pad(a, ((0, 0), (0, dx)), mode="edge")[:, dx:]
+        rep = jnp.broadcast_to(a[:, -1:], a.shape[:1] + (dx,))
+        a = jnp.concatenate([a[:, dx:], rep], axis=1)
     elif dx < 0:
-        a = jnp.pad(a, ((0, 0), (-dx, 0)), mode="edge")[:, :w]
+        rep = jnp.broadcast_to(a[:, :1], a.shape[:1] + (-dx,))
+        a = jnp.concatenate([rep, a[:, :dx]], axis=1)
     return a
 
 
