@@ -86,7 +86,9 @@ def main():
                                  hurst=0.4, noise_size=1700.0))
     def _c1():
         ms, _ = _time_fn(f1, reps=reps)
-        return {"ms": ms, "gcells_per_s": r1 * r1 / ms / 1e6}
+        msp = _time_fn_pipelined(f1, reps=reps)
+        return {"ms": ms, "ms_pipelined": msp,
+                "gcells_per_s": r1 * r1 / msp / 1e6}
     _safe(results, "1_perlin_512", _c1)
 
     # --- config 2: Simplex 13-oct + Gauss5 ×17 (README example #1) ----------
@@ -103,7 +105,9 @@ def main():
 
     def _c2():
         ms, _ = _time_fn(f2, reps=reps)
-        return {"ms": ms, "gcells_per_s": r2 * r2 / ms / 1e6}
+        msp = _time_fn_pipelined(f2, reps=reps)
+        return {"ms": ms, "ms_pipelined": msp,
+                "gcells_per_s": r2 * r2 / msp / 1e6}
     _safe(results, "2_simplex_gauss5x17", _c2)
 
     # --- config 3: flow map on filtered 1024² -------------------------------
@@ -114,7 +118,7 @@ def main():
     f3 = jax.jit(lambda h: FL.flow_map(h, iterations=5))
     def _c3():
         ms, _ = _time_fn(f3, h3, reps=reps)
-        return {"ms": ms}
+        return {"ms": ms, "ms_pipelined": _time_fn_pipelined(f3, h3, reps=reps)}
     _safe(results, "3_flowmap_1024", _c3)
 
     # --- config 4: value erosion + Sobel2D + normalize -----------------------
@@ -128,7 +132,7 @@ def main():
 
     def _c4():
         ms, _ = _time_fn(f4, h3, reps=reps)
-        return {"ms": ms}
+        return {"ms": ms, "ms_pipelined": _time_fn_pipelined(f4, h3, reps=reps)}
     _safe(results, "4_value_erosion_sobel", _c4)
 
     # --- config 5: 4×4 tiled multi-tile noise→erode→mesh heights -------------
@@ -151,7 +155,9 @@ def main():
     f5 = jax.jit(lambda: TL.tile_batch(cfg5, origins))
     def _c5():
         ms, _ = _time_fn(f5, reps=max(1, reps - 2), warmup=1)
-        return {"ms": ms, "tiles": 16, "ms_per_tile": ms / 16}
+        msp = _time_fn_pipelined(f5, reps=max(1, reps - 2), warmup=0)
+        return {"ms": ms, "ms_pipelined": msp, "tiles": 16,
+                "ms_per_tile": msp / 16}
     _safe(results, "5_multitile_4x4", _c5)
 
     # --- phase breakdown at headline size ------------------------------------

@@ -69,34 +69,46 @@ def init_state(height, key=None) -> SimState:
 
 def _spawn_with_drains(key, n, res, drain_water):
     """Fill the particle buffer: drain particles first (top-K wettest drain
-    cells), fresh random particles in the remaining slots."""
+    cells), fresh random particles in the remaining slots.  The top-k
+    search runs only when drains exist (lax.cond) — the common dry case is
+    a pure random spawn."""
     k1, k2 = jax.random.split(key)
     flat = drain_water.reshape(-1)
-    if flat.shape[0] > 4 * n and jax.default_backend() == "tpu":
-        # exact top_k over R² cells is a full sort on TPU; the hardware
-        # approx_max_k recall is ~0.95 and any missed drain water re-enters
-        # the pool map below, so nothing is lost
-        vals, idxs = jax.lax.approx_max_k(flat, n)
-    else:
-        vals, idxs = jax.lax.top_k(flat, n)
-    has_drain = vals > 0.0
-    rows = (idxs // res).astype(_F32)
-    cols = (idxs % res).astype(_F32)
     fresh = spawn(k1, n, res)
-    parts = Particles(
-        row=jnp.where(has_drain, rows, fresh.row),
-        col=jnp.where(has_drain, cols, fresh.col),
-        heading=fresh.heading,
-        vel=fresh.vel,
-        water=jnp.where(has_drain, vals, fresh.water),
-        sediment=fresh.sediment,
-        age=fresh.age,
-        alive=fresh.alive,
+
+    def with_drains(flat):
+        if flat.shape[0] > 4 * n and jax.default_backend() == "tpu":
+            # exact top_k over R² cells is a full sort on TPU; hardware
+            # approx_max_k recall is ~0.95 and any missed drain water
+            # re-enters the pool map, so nothing is lost
+            vals, idxs = jax.lax.approx_max_k(flat, n)
+        else:
+            vals, idxs = jax.lax.top_k(flat, n)
+        has_drain = vals > 0.0
+        rows = (idxs // res).astype(_F32)
+        cols = (idxs % res).astype(_F32)
+        parts = Particles(
+            row=jnp.where(has_drain, rows, fresh.row),
+            col=jnp.where(has_drain, cols, fresh.col),
+            heading=fresh.heading,
+            vel=fresh.vel,
+            water=jnp.where(has_drain, vals, fresh.water),
+            sediment=fresh.sediment,
+            age=fresh.age,
+            alive=fresh.alive,
+        )
+        # water not converted to particles returns to the pool map
+        taken = jnp.zeros_like(flat).at[idxs].add(
+            jnp.where(has_drain, vals, 0.0))
+        return parts, jnp.maximum(flat - taken, 0.0)
+
+    def without_drains(flat):
+        return fresh, flat
+
+    parts, leftover = jax.lax.cond(
+        jnp.any(flat > 0.0), with_drains, without_drains, flat
     )
-    # water not converted to particles returns to the pool map
-    taken = jnp.zeros_like(flat).at[idxs].add(jnp.where(has_drain, vals, 0.0))
-    leftover = (flat - taken).reshape(drain_water.shape)
-    return parts, jnp.maximum(leftover, 0.0), k2
+    return parts, leftover.reshape(drain_water.shape), k2
 
 
 @partial(
