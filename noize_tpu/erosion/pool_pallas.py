@@ -107,12 +107,14 @@ def pool_automata_pallas(height, pool, iterations: int = 10,
             height_pad, pool_pad, xoff, zoff, drain_particles, res, block
         )
 
-    branches = [
-        (lambda xo, zo: (lambda c: (
-            lambda out: (out[0], c[1] + out[1])
-        )(one_phase(c[0], xo, zo))))(xo, zo)
-        for xo in (0, 1) for zo in (0, 1)
-    ]
+    def make_branch(xo, zo):
+        def br(carry):
+            pool, drains = carry
+            new_pool, dm = one_phase(pool, xo, zo)
+            return new_pool, drains + dm
+        return br
+
+    branches = [make_branch(xo, zo) for xo in (0, 1) for zo in (0, 1)]
 
     def step(carry, t):
         has_water = jnp.any(carry[0] > 0.0)
