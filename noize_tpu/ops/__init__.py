@@ -6,7 +6,8 @@ surfaces.
 """
 
 from . import blur, edge, filters, flow, fractal, kernels, mesh, noise, thermal  # noqa: F401
-from .fractal import NOISE_TYPES, fractal  # noqa: F401
+from .fractal import NOISE_TYPES  # noqa: F401
+from .fractal import fractal as fractal_noise  # noqa: F401  (module name stays `fractal`)
 from .kernels import (  # noqa: F401
     KERNEL_FILTER_TYPES, gaussian_taps, kernel_filter, sobel2d, value_erosion,
 )
