@@ -113,6 +113,39 @@ def _gather_neighbors(all_h, row_i, col_i, res):
     return _quantize(vals.reshape(row_i.shape[0], 8))
 
 
+def _gather_step_values(combo, row_i, col_i, res):
+    """ALL of a step's map lookups in ONE gather: 8 all-heights neighbors +
+    the particle's WIH + flow.  A TPU gather op costs ~0.13 ms *fixed*
+    regardless of element count, so the step must issue exactly one.
+
+    ``combo`` = concat([wih.ravel(), all_h.ravel(), flow.ravel()]).
+    Returns (nb[N,8] quantized, current_h[N], flow_here[N])."""
+    n = row_i.shape[0]
+    sz = res * res
+    r = jnp.clip(row_i[:, None] + jnp.asarray(_NB_DR)[None, :], 0, res - 1)
+    c = jnp.clip(col_i[:, None] + jnp.asarray(_NB_DC)[None, :], 0, res - 1)
+    center = row_i * res + col_i
+    idx = jnp.concatenate(
+        [
+            (r * res + c).reshape(-1) + sz,   # all_h neighbors
+            center,                            # wih at the particle
+            center + 2 * sz,                   # flow at the particle
+        ]
+    )
+    vals = jnp.take(combo, idx)
+    nb = _quantize(vals[:8 * n].reshape(n, 8))
+    return nb, vals[8 * n:9 * n], vals[9 * n:]
+
+
+def _select8(table_rows, idx):
+    """table_rows: [N, 8]; idx: int[N] → out[N] = table_rows[i, idx[i]]
+    as an 8-way select chain (take_along_axis lowers to another gather)."""
+    out = table_rows[:, 0]
+    for k in range(1, 8):
+        out = jnp.where(idx == k, table_rows[:, k], out)
+    return out
+
+
 def _uphill_velocity_loss(v_diff, eff_friction, gravity, patch_res):
     """UphillVelocityLoss (:256-263) — NaN when v_diff == 0, matching the
     reference's 0/0; callers rely on NaN-compares-false."""
@@ -162,10 +195,12 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
     if maps is None:
         wih_map = height_scale * (state.height + state.pool)
         all_h = wih_map + params.FLOW_HEIGHT_CONTRIBUTION * state.flow
+        combo = jnp.concatenate(
+            [wih_map.reshape(-1), all_h.reshape(-1), state.flow.reshape(-1)]
+        )
     else:
-        wih_map, all_h = maps
-    current_h = wih_map[row_i, col_i]
-    nb = _gather_neighbors(all_h, row_i, col_i, res)          # [N, 8] quantized
+        combo = maps
+    nb, current_h, flow_here = _gather_step_values(combo, row_i, col_i, res)
 
     # natural drain: argmin (first-wins) over nb, direction via WTORDER
     drain_nb_idx = jnp.argmin(nb, axis=-1).astype(jnp.int32)  # [N]
@@ -175,19 +210,16 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
 
     heading = jnp.where(p.heading < 0, drain_ring, p.heading)
 
-    flow_here = state.flow[row_i, col_i]
     eff_drag = params.DRAG * (1.0 - jnp.maximum(flow_here, 0.0))
     eff_friction = params.FRICTION * (1.0 - jnp.maximum(flow_here, 0.0))
 
-    # constrained steering (ChooseHeading, :182-201) — one fused [N,3] gather;
+    # constrained steering (ChooseHeading, :182-201) via select chains;
     # RING_TO_NB = [0,4,1,5,2,6,3,7] arithmetically: nb = ring//2 + 4·(ring&1)
     left = (heading + 7) % 8
     right = (heading + 1) % 8
-    rings3 = jnp.stack([left, heading, right], -1)
-    lcr = jnp.take_along_axis(nb, rings3 // 2 + 4 * (rings3 % 2), -1)
-    h_left = lcr[:, 0]
-    h_center = lcr[:, 1]
-    h_right = lcr[:, 2]
+    h_left = _select8(nb, left // 2 + 4 * (left % 2))
+    h_center = _select8(nb, heading // 2 + 4 * (heading % 2))
+    h_right = _select8(nb, right // 2 + 4 * (right % 2))
     go_left = (h_left < h_center) & (h_left < h_right)
     go_right = (h_right < h_left) & (h_right < h_center)
     flow_ring = jnp.where(go_left, left, jnp.where(go_right, right, heading))
@@ -212,9 +244,13 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
     new_ring = jnp.where(take_heading, flow_ring, drain_ring)
     h_diff = jnp.where(take_heading, h_diff, drain_h_diff)
 
-    drdc = jnp.asarray(np.stack([RING_DR, RING_DC], 1), _F32)[new_ring]
-    new_row = p.row + drdc[:, 0]
-    new_col = p.col + drdc[:, 1]
+    dr = jnp.zeros_like(p.row)
+    dc = jnp.zeros_like(p.col)
+    for k in range(8):
+        dr = jnp.where(new_ring == k, float(RING_DR[k]), dr)
+        dc = jnp.where(new_ring == k, float(RING_DC[k]), dc)
+    new_row = p.row + dr
+    new_col = p.col + dc
 
     # out-of-bounds death loses everything (:351-357)
     nri = jnp.round(new_row).astype(jnp.int32)
@@ -297,7 +333,9 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
     # scan step (the dominant cost at production resolutions otherwise)
     wih_map = height_scale * (state.height + state.pool)
     all_h = wih_map + params.FLOW_HEIGHT_CONTRIBUTION * state.flow
-    maps = (wih_map, all_h)
+    maps = jnp.concatenate(
+        [wih_map.reshape(-1), all_h.reshape(-1), state.flow.reshape(-1)]
+    )
 
     def step_body(part, _):
         part, ev = descend_step(
