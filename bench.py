@@ -53,6 +53,29 @@ def _time_fn_pipelined(fn, *args, reps: int = 5, warmup: int = 2):
     return (time.perf_counter() - t0) * 1e3 / reps
 
 
+def _time_chained(body_fn, reps: int = 4, rtt_ms: float = 28.0):
+    """Ground-truth device timing: scan ``reps`` executions of ``body_fn``
+    (key -> scalar) inside one jit, read back the 4-byte total, subtract one
+    dispatch RTT.  See BENCH_HISTORY.md — readiness signals and bulk
+    readback through the device tunnel are not trustworthy."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(key):
+        def body(carry, k):
+            return carry + body_fn(k), None
+        total, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                jax.random.split(key, reps))
+        return total
+
+    float(run(jax.random.PRNGKey(11)))  # warmup/compile
+    t0 = time.perf_counter()
+    float(run(jax.random.PRNGKey(12)))
+    wall = (time.perf_counter() - t0) * 1e3
+    return max(wall - rtt_ms, wall * 0.2) / reps
+
+
 def _safe(results, key, fn):
     try:
         results["configs"][key] = fn()
@@ -85,10 +108,12 @@ def main():
     f1 = jax.jit(lambda: fractal(r1, 0, 0, noise_type="Perlin", octaves=13,
                                  hurst=0.4, noise_size=1700.0))
     def _c1():
-        ms, _ = _time_fn(f1, reps=reps)
-        msp = _time_fn_pipelined(f1, reps=reps)
-        return {"ms": ms, "ms_pipelined": msp,
-                "gcells_per_s": r1 * r1 / msp / 1e6}
+        def body(k):
+            x = jax.random.randint(k, (), 0, 1000).astype(jnp.float32)
+            return fractal(r1, x, 0, noise_type="Perlin", octaves=13,
+                           hurst=0.4, noise_size=1700.0).sum()
+        ms = _time_chained(body, reps=8)
+        return {"ms": ms, "gcells_per_s": r1 * r1 / ms / 1e6}
     _safe(results, "1_perlin_512", _c1)
 
     # --- config 2: Simplex 13-oct + Gauss5 ×17 (README example #1) ----------
@@ -104,10 +129,15 @@ def main():
         return jax.lax.fori_loop(0, 17, body, h)
 
     def _c2():
-        ms, _ = _time_fn(f2, reps=reps)
-        msp = _time_fn_pipelined(f2, reps=reps)
-        return {"ms": ms, "ms_pipelined": msp,
-                "gcells_per_s": r2 * r2 / msp / 1e6}
+        def body(k):
+            x = jax.random.randint(k, (), 0, 1000).astype(jnp.float32)
+            h = fractal(r2, x, 0, noise_type="Simplex", octaves=13,
+                        hurst=0.4, noise_size=1700.0)
+            def it(_, a):
+                return K.separable_series(a, taps, taps, 1.0)
+            return jax.lax.fori_loop(0, 17, it, h).sum()
+        ms = _time_chained(body, reps=4)
+        return {"ms": ms, "gcells_per_s": r2 * r2 / ms / 1e6}
     _safe(results, "2_simplex_gauss5x17", _c2)
 
     # --- config 3: flow map on filtered 1024² -------------------------------
@@ -117,8 +147,10 @@ def main():
                         hurst=0.4, noise_size=1000.0))())
     f3 = jax.jit(lambda h: FL.flow_map(h, iterations=5))
     def _c3():
-        ms, _ = _time_fn(f3, h3, reps=reps)
-        return {"ms": ms, "ms_pipelined": _time_fn_pipelined(f3, h3, reps=reps)}
+        def body(k):
+            off = jax.random.uniform(k, ()) * 1e-4
+            return FL.flow_map(h3 + off, iterations=5).sum()
+        return {"ms": _time_chained(body, reps=4)}
     _safe(results, "3_flowmap_1024", _c3)
 
     # --- config 4: value erosion + Sobel2D + normalize -----------------------
@@ -131,8 +163,10 @@ def main():
         return FI.normalize(h)
 
     def _c4():
-        ms, _ = _time_fn(f4, h3, reps=reps)
-        return {"ms": ms, "ms_pipelined": _time_fn_pipelined(f4, h3, reps=reps)}
+        def body(k):
+            off = jax.random.uniform(k, ()) * 1e-4
+            return f4(h3 + off).sum()
+        return {"ms": _time_chained(body, reps=4)}
     _safe(results, "4_value_erosion_sobel", _c4)
 
     # --- config 5: 4×4 tiled multi-tile noise→erode→mesh heights -------------
@@ -154,10 +188,13 @@ def main():
     origins = TL.grid_origins(meta5, 4, 4)
     f5 = jax.jit(lambda: TL.tile_batch(cfg5, origins))
     def _c5():
-        ms, _ = _time_fn(f5, reps=max(1, reps - 2), warmup=1)
-        msp = _time_fn_pipelined(f5, reps=max(1, reps - 2), warmup=0)
-        return {"ms": ms, "ms_pipelined": msp, "tiles": 16,
-                "ms_per_tile": msp / 16}
+        base = jnp.asarray(origins)
+
+        def body(k):
+            off = jax.random.randint(k, (), 0, 1000)
+            return TL.tile_batch(cfg5, base + off).sum()
+        ms = _time_chained(body, reps=2)
+        return {"ms": ms, "tiles": 16, "ms_per_tile": ms / 16}
     _safe(results, "5_multitile_4x4", _c5)
 
     # --- phase breakdown at headline size ------------------------------------
