@@ -75,7 +75,14 @@ def make_tile_step(
             noise_size=noise_size,
         )
         h = _blur_chain(h, 5, 1.0, blur_iterations)
-        flow_v = _flow.flow_map(h, iterations=flow_iterations)
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu" and res % 512 == 0:
+            from ..ops.pallas.flow_pl import flow_map_pallas
+
+            flow_v = flow_map_pallas(h, iterations=flow_iterations)
+        else:
+            flow_v = _flow.flow_map(h, iterations=flow_iterations)
         state = init_state(h, key)
         for _ in range(erosion_cycles):
             state = erosion_cycle(state, settings, meta)

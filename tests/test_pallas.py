@@ -72,3 +72,18 @@ class TestPoolPallas:
             wp, wd = PO.pool_automata(h, p, iterations=2, drain_particles=dp)
             np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-7)
             np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), atol=1e-7)
+
+
+class TestFlowPallas:
+    def test_matches_xla_path(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from noize_tpu.ops import flow as FL
+        from noize_tpu.ops.pallas import flow_pl as FP
+
+        res = 64
+        rng = np.random.default_rng(2)
+        h = jnp.asarray(rng.uniform(0, 1, (res, res)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = FP.flow_map_pallas(h, iterations=6, block=32)
+        want = FL.flow_map(h, iterations=6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-7)
