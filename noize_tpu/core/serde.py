@@ -101,19 +101,31 @@ class SerdeManager:
         safe = name.replace("/", "_")
         return os.path.join(self.data_dir, f"{safe}.data")
 
-    def save(self, name: str, array: np.ndarray):
+    def save(self, name: str, array: np.ndarray, async_: bool = False):
+        """Dump one buffer.  ``async_`` queues the write on the native
+        thread pool (checkpoints overlap compute); call ``flush()`` to
+        barrier."""
         os.makedirs(self.data_dir, exist_ok=True)
         arr = np.ascontiguousarray(array)
         path = self._path_for(name)
         nat = _native()
         if nat is not None:
-            nat.write_file(path, arr)
+            if async_:
+                nat.write_file_async(path, arr)
+            else:
+                nat.write_file(path, arr)
         else:
             arr.tofile(path)
         self.directory.entries[name] = FileObject(
             os.path.basename(path), arr.size, str(arr.dtype), arr.shape
         )
         self.directory.flush()
+
+    def flush(self):
+        """Barrier for async saves (no-op without the native pool)."""
+        nat = _native()
+        if nat is not None:
+            nat.wait(0)
 
     def exists(self, name: str) -> bool:
         return name in self.directory and os.path.exists(self._path_for(name))

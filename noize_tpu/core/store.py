@@ -134,7 +134,7 @@ class PipelineStateManager:
 
     # --- checkpoint (PipelineStateManager.cs:98-113) -----------------------
 
-    def save_buffer_to_disk(self, name: str) -> bool:
+    def save_buffer_to_disk(self, name: str, async_: bool = False) -> bool:
         if self.serde is None:
             return False
         with self._mutex:
@@ -142,12 +142,17 @@ class PipelineStateManager:
                 return False
             value = self._buffers[name]
         arr = np.asarray(value)
-        self.serde.save(name, arr)
+        self.serde.save(name, arr, async_=async_)
         return True
 
-    def save_all(self):
+    def save_all(self, async_: bool = True):
+        """Checkpoint every array buffer; async by default (the native
+        write pool overlaps disk IO with device compute), with a barrier
+        at the end."""
         for name in self.names():
             try:
-                self.save_buffer_to_disk(name)
+                self.save_buffer_to_disk(name, async_=async_)
             except Exception:
                 pass
+        if self.serde is not None and async_:
+            self.serde.flush()

@@ -124,3 +124,16 @@ class TestSerde:
             fh.write(b"\x00" * 12)  # wrong byte count
         with pytest.raises(IOError):
             sd.load("z")
+
+
+class TestAsyncCheckpoint:
+    def test_save_all_async_roundtrip(self, tmp_path):
+        sm = PipelineStateManager(str(tmp_path), "a", "1")
+        arrays = {f"buf{i}": RNG.normal(size=(64, 64)).astype(np.float32)
+                  for i in range(6)}
+        for n, a in arrays.items():
+            sm.set_buffer(n, jnp.asarray(a))
+        sm.save_all(async_=True)  # barriered internally
+        sm2 = PipelineStateManager(str(tmp_path), "a", "1")
+        for n, a in arrays.items():
+            np.testing.assert_array_equal(np.asarray(sm2.get_buffer(n)), a)
