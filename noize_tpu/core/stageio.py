@@ -15,7 +15,7 @@ the double-buffer/SWAP machinery disappears (SURVEY.md L1).
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from typing import Any, Optional
+from typing import Any
 
 
 @dataclass

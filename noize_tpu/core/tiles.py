@@ -14,7 +14,7 @@ the single-tile geometry contract is identical.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 

@@ -15,11 +15,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import kernels as _k
 from ..ops import flow as _f
-from ..ops.fractal import fractal as _fractal_local, noise_value
+from ..ops.fractal import noise_value
 from .halo import exchange_2d, shard_map, _crop
 
 

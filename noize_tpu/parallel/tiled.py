@@ -15,8 +15,7 @@ Reference model (SURVEY.md §2.7): tiles are fully independent; the only
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,8 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.tiles import TileSetMeta
 from ..erosion.params import ErosionSettings
-from ..erosion.sim import SimState, erosion_cycle, init_state
-from ..erosion.world import WorldState
+from ..erosion.sim import erosion_cycle, init_state
 from ..ops.fractal import fractal
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import contextlib
 import logging
 import time
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
