@@ -151,3 +151,20 @@ class TestShardedThermal:
         want = np.asarray(T.thermal_erosion(jnp.asarray(a), 45.0, 0.5, 1.0,
                                             iterations=2))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestShardedStencilLifter:
+    def test_generic_stencil_matches_local(self, mesh):
+        from noize_tpu.parallel.halo import sharded_stencil
+        from noize_tpu.ops import kernels as K2
+        import jax.numpy as jnp
+
+        taps = K2.gaussian_taps(2.0, 9)
+        fn = sharded_stencil(
+            lambda ext: K2.separable_series(ext, taps, taps, 1.0),
+            halo=4, mesh=mesh,
+        )
+        a, ash = sharded_field(mesh, 64)
+        got = np.asarray(fn(ash))
+        want = np.asarray(K2.separable_series(jnp.asarray(a), taps, taps, 1.0))
+        np.testing.assert_allclose(got, want, atol=1e-6)

@@ -149,3 +149,21 @@ class TestDriver:
                              on_complete=lambda d: events.append("done"))
         run_stages(p.stages, w)
         assert events == ["sched", "done"]
+
+
+class TestDriverErrors:
+    def test_failed_stage_logged_not_fatal(self, caplog):
+        import logging
+
+        class Boom(S.NoiseStage):
+            def apply(self, work):
+                raise RuntimeError("kaboom")
+
+        p = Pipeline([Boom()]).start()
+        with caplog.at_level(logging.ERROR, logger="noize_tpu.pipeline"):
+            p.enqueue(gen(8, uuid="x"))
+            p.enqueue(gen(8, uuid="x2"))
+            import time as _t
+            _t.sleep(0.5)
+        p.stop()
+        assert any("stage cascade failed" in r.message for r in caplog.records)
