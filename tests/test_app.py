@@ -229,3 +229,38 @@ class TestPresets:
                               data=jnp.zeros((32, 32), jnp.float32)))
             arr = np.asarray(out.data)
             assert arr.shape == (32, 32) and np.all(np.isfinite(arr)), name
+
+
+class TestTileServer:
+    def test_batched_serving(self):
+        from noize_tpu.app.server import TileServer
+        from noize_tpu.parallel import tiled as TL
+
+        cfg = TL.TilePipelineConfig(
+            meta=SMALL_META, noise_type="Perlin", octaves=2, noise_size=64.0,
+            blur_iterations=1,
+        )
+        srv = TileServer(cfg, batch_size=4, max_wait_ms=50.0).start()
+        done = []
+        for i in range(6):
+            srv.submit(f"t{i}", (i, 0), on_complete=done.append)
+        assert srv.drain(timeout=120)
+        import time as _t
+        _t.sleep(0.2)
+        srv.stop()
+        assert len(done) == 6
+        assert srv.batches >= 2  # 6 requests / batch 4
+        res = SMALL_META.generator_res
+        for st in done:
+            assert np.asarray(st.heights).shape == (res, res)
+        # seamlessness across batch boundaries: adjacent tiles agree
+        by_id = {st.request.uuid: np.asarray(st.heights) for st in done}
+        m = SMALL_META
+        overlap = m.generator_res - m.tile_res  # 8
+        # the blur's clamped borders perturb a taps-wide band at each
+        # tile's edge — the margin exists precisely so the interior of the
+        # overlap agrees; compare away from both borders
+        b = 3
+        np.testing.assert_allclose(
+            by_id["t0"][b:-b, m.tile_res + b:-b],
+            by_id["t1"][b:-b, b:overlap - b], atol=1e-5)
