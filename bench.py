@@ -105,8 +105,6 @@ def main():
 
     # --- config 1: Perlin fractal 512² (NoiseStage only) --------------------
     r1 = 128 if fast else 512
-    f1 = jax.jit(lambda: fractal(r1, 0, 0, noise_type="Perlin", octaves=13,
-                                 hurst=0.4, noise_size=1700.0))
     def _c1():
         def body(k):
             x = jax.random.randint(k, (), 0, 1000).astype(jnp.float32)
@@ -119,14 +117,6 @@ def main():
     # --- config 2: Simplex 13-oct + Gauss5 ×17 (README example #1) ----------
     r2 = 256 if fast else 2048
     taps = jnp.asarray(K.gaussian_taps(1.0, 5))
-
-    @jax.jit
-    def f2():
-        h = fractal(r2, 0, 0, noise_type="Simplex", octaves=13, hurst=0.4,
-                    noise_size=1700.0)
-        def body(_, a):
-            return K.separable_series(a, taps, taps, 1.0)
-        return jax.lax.fori_loop(0, 17, body, h)
 
     def _c2():
         def body(k):
@@ -145,7 +135,6 @@ def main():
     h3 = jax.block_until_ready(jax.jit(
         lambda: fractal(r3, 0, 0, noise_type="Simplex", octaves=8,
                         hurst=0.4, noise_size=1000.0))())
-    f3 = jax.jit(lambda h: FL.flow_map(h, iterations=5))
     def _c3():
         def body(k):
             off = jax.random.uniform(k, ()) * 1e-4
@@ -186,7 +175,6 @@ def main():
         erosion=es5, erosion_cycles=1,
     )
     origins = TL.grid_origins(meta5, 4, 4)
-    f5 = jax.jit(lambda: TL.tile_batch(cfg5, origins))
     def _c5():
         base = jnp.asarray(origins)
 
