@@ -100,19 +100,6 @@ _NB_DR = np.array([o[0] for o in NEIGHBOR_OFFSETS], np.int32)
 _NB_DC = np.array([o[1] for o in NEIGHBOR_OFFSETS], np.int32)
 
 
-def _gather_neighbors(all_h, row_i, col_i, res):
-    """nb[k] = quantized all-heights of the 8 neighbors (WTORDER order),
-    with clamped indexing.  Returns f32[N, 8].
-
-    One flat gather of N·8 indices — eight separate small gathers dominate
-    the descent scan on TPU otherwise."""
-    r = jnp.clip(row_i[:, None] + jnp.asarray(_NB_DR)[None, :], 0, res - 1)
-    c = jnp.clip(col_i[:, None] + jnp.asarray(_NB_DC)[None, :], 0, res - 1)
-    flat = (r * res + c).reshape(-1)
-    vals = jnp.take(all_h.reshape(-1), flat, indices_are_sorted=False)
-    return _quantize(vals.reshape(row_i.shape[0], 8))
-
-
 def _gather_step_values(combo, row_i, col_i, res):
     """ALL of a step's map lookups in ONE gather: 8 all-heights neighbors +
     the particle's WIH + flow.  A TPU gather op costs ~0.13 ms *fixed*

@@ -264,3 +264,20 @@ class TestTileServer:
         np.testing.assert_allclose(
             by_id["t0"][b:-b, m.tile_res + b:-b],
             by_id["t1"][b:-b, b:overlap - b], atol=1e-5)
+
+
+class TestFlagship:
+    def test_tile_step_small(self):
+        from noize_tpu.app.flagship import make_tile_step
+        import jax
+
+        meta = TileSetMeta(tile_res=24, tile_size=24, generator_res=32,
+                           height=500, margin=4)
+        step, _, _ = make_tile_step(
+            meta, SMALL_EROSION, octaves=4, blur_iterations=2,
+            flow_iterations=2, erosion_cycles=1,
+        )
+        out = step(np.float32(0), np.float32(0), jax.random.PRNGKey(0))
+        assert np.asarray(out["height"]).shape == (32, 32)
+        assert np.isfinite(np.asarray(out["flow_velocity"])).all()
+        assert out["mesh"].vertex_count == 25 ** 2
