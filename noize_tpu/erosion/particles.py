@@ -124,6 +124,57 @@ def _gather_step_values(combo, row_i, col_i, res):
     return nb, vals[8 * n:9 * n], vals[9 * n:]
 
 
+def _gather_patches(combo, row_i, col_i, res: int, k: int):
+    """Patch prefetch: one gather fetching a (2k+1)² window of all three
+    maps around each particle.  A TPU gather has a large fixed cost, so
+    fetching 3·(2k+1)² values per particle every k steps beats one small
+    gather per step ~k-fold; the in-between steps read the patch with
+    one-hot contractions (no gather).  Window start is clamped so the
+    patch stays in-grid; every clipped neighbor index of every position
+    reachable within k-1 steps lands inside it.
+
+    Returns (sr, sc, patches[N, 3, P, P]) with map order (wih, all_h,
+    flow) matching ``combo``'s layout."""
+    p = 2 * k + 1
+    sz = res * res
+    sr = jnp.clip(row_i - k, 0, res - p)
+    sc = jnp.clip(col_i - k, 0, res - p)
+    rr = sr[:, None] + jnp.arange(p, dtype=jnp.int32)
+    cc = sc[:, None] + jnp.arange(p, dtype=jnp.int32)
+    cell = rr[:, :, None] * res + cc[:, None, :]          # [N, P, P]
+    idx = jnp.stack([cell, cell + sz, cell + 2 * sz], 1)  # [N, 3, P, P]
+    patches = jnp.take(combo, idx.reshape(-1)).reshape(idx.shape)
+    return sr, sc, patches
+
+
+def _patch_step_values(patch_ctx, row_i, col_i, res: int):
+    """The per-step map reads (nb, wih, flow — see _gather_step_values)
+    served from prefetched patches: build 3-row / 3-col one-hots for the
+    individually-clipped neighbor coordinates and contract the patch with
+    them (exact — each sum has one 1·x term and zeros elsewhere)."""
+    sr, sc, patches, k = patch_ctx
+    p = 2 * k + 1
+    iota = jnp.arange(p, dtype=jnp.int32)
+    lr = jnp.stack(
+        [jnp.clip(row_i + d, 0, res - 1) - sr for d in (-1, 0, 1)], 1
+    )                                                      # [N, 3]
+    lc = jnp.stack(
+        [jnp.clip(col_i + d, 0, res - 1) - sc for d in (-1, 0, 1)], 1
+    )
+    ohr = (lr[:, :, None] == iota).astype(_F32)            # [N, 3, P]
+    ohc = (lc[:, :, None] == iota).astype(_F32)
+    tmp = jnp.einsum("nap,nmpq->nmaq", ohr, patches)       # [N, 3, 3, P]
+    win = jnp.einsum("nbq,nmaq->nmab", ohc, tmp)           # [N, 3, 3, 3]
+    nb = jnp.stack(
+        [
+            win[:, 1, 1 + int(_NB_DR[d]), 1 + int(_NB_DC[d])]
+            for d in range(8)
+        ],
+        axis=1,
+    )
+    return _quantize(nb), win[:, 0, 1, 1], win[:, 2, 1, 1]
+
+
 def _select8(table_rows, idx):
     """table_rows: [N, 8]; idx: int[N] → out[N] = table_rows[i, idx[i]]
     as an 8-way select chain (take_along_axis lowers to another gather)."""
@@ -149,7 +200,7 @@ def _downhill_velocity_gain(v_diff, eff_friction, gravity, patch_res):
 
 
 def descend_step(p: Particles, state: WorldState, params, height_scale,
-                 patch_res, res: int, maps=None):
+                 patch_res, res: int, maps=None, patch_ctx=None):
     """One DescendSimultaneous step for every particle.
 
     Returns (new_particles, events) where events is a dict of per-particle
@@ -158,6 +209,11 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
     ``maps``: optional precomputed (wih_map, all_h) — the world maps are
     read-only during descent (particles only emit events), so callers
     looping over steps hoist these out (see descend_all).
+
+    ``patch_ctx``: optional (sr, sc, patches, k) from _gather_patches —
+    serve the step's map reads from prefetched windows instead of a
+    gather (valid while every particle is within k-1 steps of where the
+    patch was fetched).
     """
     row_i = jnp.clip(jnp.round(p.row).astype(jnp.int32), 0, res - 1)
     col_i = jnp.clip(jnp.round(p.col).astype(jnp.int32), 0, res - 1)
@@ -187,7 +243,14 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
         )
     else:
         combo = maps
-    nb, current_h, flow_here = _gather_step_values(combo, row_i, col_i, res)
+    if patch_ctx is not None:
+        nb, current_h, flow_here = _patch_step_values(
+            patch_ctx, row_i, col_i, res
+        )
+    else:
+        nb, current_h, flow_here = _gather_step_values(
+            combo, row_i, col_i, res
+        )
 
     # natural drain: argmin (first-wins) over nb, direction via WTORDER
     drain_nb_idx = jnp.argmin(nb, axis=-1).astype(jnp.int32)  # [N]
@@ -298,7 +361,7 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
 
 def descend_all(p: Particles, state: WorldState, params, height_scale,
                 patch_res, res: int, max_steps: int = None,
-                chunk: int = 8):
+                chunk: int = 8, patch_k: int = 4):
     """Run the full descent loop; returns accumulated event maps.
 
     The reference loop runs until every particle dies; the age cap MAXAGE
@@ -311,11 +374,20 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
     emit nothing, so skipping trailing chunks is exact).  Events reduce
     with one scatter-add per chunk — hundreds of per-step scatters
     dominated the scan otherwise.
+
+    ``patch_k``: steps served per patch prefetch (see _gather_patches) —
+    divides ``chunk``; the per-step map reads then cost one-hot
+    contractions instead of gathers, amortizing the TPU gather op's fixed
+    cost patch_k-fold.  0 disables (one gather per step), and grids
+    smaller than the patch fall back automatically.
     """
     steps = (params.MAXAGE + 1) if max_steps is None else max_steps
     n_chunks = -(-steps // chunk)
     shape = state.height.shape
     zeros = jnp.zeros(shape[0] * shape[1], _F32)
+    use_patches = patch_k > 0 and res >= 2 * patch_k + 1
+    if use_patches and chunk % patch_k:
+        raise ValueError("patch_k must divide chunk")
     # world maps are invariant across the descent — compute once, not per
     # scan step (the dominant cost at production resolutions otherwise)
     wih_map = height_scale * (state.height + state.pool)
@@ -324,18 +396,44 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
         [wih_map.reshape(-1), all_h.reshape(-1), state.flow.reshape(-1)]
     )
 
-    def step_body(part, _):
+    def step_body_gather(part, _):
         part, ev = descend_step(
             part, state, params, height_scale, patch_res, res, maps=maps
         )
         flat = (ev["row"] * res + ev["col"]).astype(jnp.int32)
         return part, (flat, ev["d_track"], ev["d_pool"], ev["d_sed"])
 
+    def run_span(part):
+        """patch_k steps off one prefetched patch set."""
+        row_i = jnp.clip(jnp.round(part.row).astype(jnp.int32), 0, res - 1)
+        col_i = jnp.clip(jnp.round(part.col).astype(jnp.int32), 0, res - 1)
+        sr, sc, patches = _gather_patches(maps, row_i, col_i, res, patch_k)
+        ctx = (sr, sc, patches, patch_k)
+
+        def body(part, _):
+            part, ev = descend_step(
+                part, state, params, height_scale, patch_res, res,
+                maps=maps, patch_ctx=ctx,
+            )
+            flat = (ev["row"] * res + ev["col"]).astype(jnp.int32)
+            return part, (flat, ev["d_track"], ev["d_pool"], ev["d_sed"])
+
+        return jax.lax.scan(body, part, None, length=patch_k)
+
     def chunk_body(carry):
         part, track, pool_, sed, k = carry
-        part, (idx, dt, dp_, ds) = jax.lax.scan(
-            step_body, part, None, length=chunk
-        )
+        if use_patches:
+            outs = []
+            for _ in range(chunk // patch_k):
+                part, out = run_span(part)
+                outs.append(out)
+            idx, dt, dp_, ds = (
+                jnp.concatenate([o[i] for o in outs]) for i in range(4)
+            )
+        else:
+            part, (idx, dt, dp_, ds) = jax.lax.scan(
+                step_body_gather, part, None, length=chunk
+            )
         idx = idx.reshape(-1)
         track = track.at[idx].add(dt.reshape(-1))
         pool_ = pool_.at[idx].add(dp_.reshape(-1))

@@ -227,31 +227,43 @@ def _spread_phase_halfrow(height, pool, xoff: int, zoff: int,
 
 
 def _phase_pair(a_h, c_h, a_p, c_p, xoff: int, zoff: int,
-                drain_particles: bool, res: int):
+                drain_particles: bool, res: int, row0: int = 0):
     """One phase on the (active, complement) row-lattice pair.
 
     ``a_*`` are the ACTIVE rows for this phase (z ≡ zoff mod 2), ``c_*``
     the complementary rows.  Returns (new_active_pool, new_comp_pool,
     drain_active, drain_comp) — no full-grid join, so consecutive phases
     chain without reshape churn (composing split→join per phase made XLA's
-    simplifier blow up compile time)."""
-    r2 = a_p.shape[0]
+    simplifier blow up compile time).
+
+    ``row0``: global lattice row of array row 0.  The pallas pair kernel
+    passes halo windows with row0 = block_start - halo; rows mapping
+    outside [0, res/2) are ghosts (masked inactive), and all border logic
+    keys on the global lattice row."""
+    r2 = res // 2
 
     # column-parity mask per lattice row j (global z = 2j + zoff)
-    j = jax.lax.broadcasted_iota(jnp.int32, a_p.shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, a_p.shape, 0) + row0
     col = jax.lax.broadcasted_iota(jnp.int32, a_p.shape, 1)
     mask = (col % 2) == ((xoff + j) % 2)
+    mask = mask & (j >= 0) & (j < r2)  # window ghost rows are inactive
     active = mask & (a_p > 0.0)
 
     # vertical neighbors from the complementary lattice (clamped at the
     # global border by substituting the active row itself — SafeIdx alias)
+    def shift_down(x):  # out[k] = x[k-1]; row 0 value unused (where'd out)
+        return jnp.concatenate([x[:1], x[:-1]], 0)
+
+    def shift_up(x):    # out[k] = x[k+1]; last row unused
+        return jnp.concatenate([x[1:], x[-1:]], 0)
+
     if zoff == 0:
         up_h, up_p = c_h, c_p                                    # z+1 = C[j]
-        down_h = jnp.concatenate([a_h[:1], c_h[:-1]], 0)          # z-1; j=0 self
-        down_p = jnp.concatenate([a_p[:1], c_p[:-1]], 0)
+        down_h = jnp.where(j == 0, a_h, shift_down(c_h))          # z-1; j=0 self
+        down_p = jnp.where(j == 0, a_p, shift_down(c_p))
     else:
-        up_h = jnp.concatenate([c_h[1:], a_h[-1:]], 0)            # z+1; last self
-        up_p = jnp.concatenate([c_p[1:], a_p[-1:]], 0)
+        up_h = jnp.where(j == r2 - 1, a_h, shift_up(c_h))         # z+1; last self
+        up_p = jnp.where(j == r2 - 1, a_p, shift_up(c_p))
         down_h, down_p = c_h, c_p                                 # z-1 = C[j]
 
     n_height = [up_h, shift_clamped(a_h, 0, 1), down_h, shift_clamped(a_h, 0, -1)]

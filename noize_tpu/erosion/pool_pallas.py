@@ -91,6 +91,132 @@ def _phase_call(height_pad, pool_pad, xoff: int, zoff: int,
     )(height_pad, pool_pad)
 
 
+def _phase_pair_call(h_a, h_c, p_a, p_c, xoff: int, zoff: int,
+                     drain_particles: bool, res: int, block: int):
+    """One phase on the (active, complement) half-row lattices via pallas.
+
+    Lattice arrays are (res/2, res); windows carry a 4-row halo (aligned;
+    correctness needs 1 lattice row = 2 global rows on each side).  The
+    pair layout halves the elementwise work vs the full-grid kernel.
+    Inputs are pre-padded by 4 rows (edge mode).  Returns
+    (new_active, new_comp, drain_active, drain_comp)."""
+    r2 = res // 2
+    nblk = r2 // block
+    hw = block + 8
+
+    def kernel(ha_hbm, hc_hbm, pa_hbm, pc_hbm,
+               pa_o, pc_o, da_o, dc_o, ha_s, hc_s, pa_s, pc_s, sem):
+        i = pl.program_id(0)
+
+        for src, dst in ((ha_hbm, ha_s), (hc_hbm, hc_s),
+                         (pa_hbm, pa_s), (pc_hbm, pc_s)):
+            cp = pltpu.make_async_copy(
+                src.at[pl.ds(i * block, hw), :], dst, sem
+            )
+            cp.start()
+            cp.wait()
+
+        # _phase_pair derives masks/borders from the GLOBAL lattice row:
+        # window row k ↔ lattice row i·block − 4 + k (inputs pre-padded by
+        # 4 edge rows, so padded row p ↔ lattice row p − 4)
+        new_a, new_c, da, dc = _pool._phase_pair(
+            ha_s[:], hc_s[:], pa_s[:], pc_s[:],
+            xoff, zoff, drain_particles, res, row0=i * block - 4,
+        )
+        sl = slice(4, 4 + block)
+        pa_o[:] = new_a[sl, :]
+        pc_o[:] = new_c[sl, :]
+        da_o[:] = da[sl, :]
+        dc_o[:] = dc[sl, :]
+
+    out_spec = pl.BlockSpec((block, res), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(out_spec,) * 4,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((r2, res), _F32) for _ in range(4)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hw, res), _F32),
+            pltpu.VMEM((hw, res), _F32),
+            pltpu.VMEM((hw, res), _F32),
+            pltpu.VMEM((hw, res), _F32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(h_a, h_c, p_a, p_c)
+
+
+def _pad4(a):
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(a[:1, :], (4,) + a.shape[1:]),
+            a,
+            jnp.broadcast_to(a[-1:, :], (4,) + a.shape[1:]),
+        ],
+        axis=0,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "drain_particles", "block")
+)
+def pool_automata_pallas_pair(height, pool, iterations: int = 10,
+                              drain_particles: bool = True,
+                              block: int = 128):
+    """Half-row-pair pallas pool automata: split even/odd rows once, run
+    every phase as a pair-lattice kernel, join once."""
+    res = height.shape[0]
+    h_e, h_o = _pool._halfrow_views(height, 0)
+    p_e, p_o = _pool._halfrow_views(pool, 0)
+    hpe, hpo = _pad4(h_e), _pad4(h_o)
+    d_e = jnp.zeros_like(p_e)
+    d_o = jnp.zeros_like(p_o)
+
+    def make_branch(xo, zo):
+        if zo == 0:
+            def br(c):
+                p_e, p_o, d_e, d_o = c
+                na, nc, da, dc = _phase_pair_call(
+                    hpe, hpo, _pad4(p_e), _pad4(p_o), xo, 0,
+                    drain_particles, res, block)
+                return na, nc, d_e + da, d_o + dc
+        else:
+            def br(c):
+                p_e, p_o, d_e, d_o = c
+                na, nc, da, dc = _phase_pair_call(
+                    hpo, hpe, _pad4(p_o), _pad4(p_e), xo, 1,
+                    drain_particles, res, block)
+                return nc, na, d_e + dc, d_o + da
+        return br
+
+    branches = [make_branch(xo, zo) for xo in (0, 1) for zo in (0, 1)]
+
+    def step(carry, t):
+        has_water = jnp.any(carry[0] > 0.0) | jnp.any(carry[1] > 0.0)
+        out = jax.lax.cond(
+            has_water,
+            lambda c: jax.lax.switch(t % 4, branches, c),
+            lambda c: c,
+            carry,
+        )
+        return out, None
+
+    (p_e, p_o, d_e, d_o), _ = jax.lax.scan(
+        step, (p_e, p_o, d_e, d_o),
+        jnp.arange(4 * iterations, dtype=jnp.int32),
+    )
+    return (
+        _pool._halfrow_join(p_e, p_o, 0),
+        _pool._halfrow_join(d_e, d_o, 0),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("iterations", "drain_particles", "block")
 )

@@ -117,6 +117,25 @@ class TestParticles:
         v = jnp.asarray([0.0199, 1.0051, 0.5])
         np.testing.assert_allclose(np.asarray(P._quantize(v)), [0.01, 1.00, 0.5])
 
+    def test_patch_prefetch_matches_per_step_gather(self):
+        """descend_all's patch-prefetch path (one 9×9 gather per 4 steps,
+        one-hot patch reads in between) must be bit-identical to the
+        one-gather-per-step path — the extraction sums one 1·x term."""
+        res = 48
+        rng = np.random.default_rng(11)
+        h = jnp.asarray(rng.uniform(0, 1, (res, res)).astype(np.float32))
+        state = W.WorldState.create(h)
+        params = ErosionParameters(MAXAGE=24)
+        parts = P.spawn(jax.random.PRNGKey(5), 64, res)
+        f_patch = jax.jit(lambda p, s: P.descend_all(
+            p, s, params, 1000.0, 1.0, res, patch_k=4))
+        f_gather = jax.jit(lambda p, s: P.descend_all(
+            p, s, params, 1000.0, 1.0, res, patch_k=0))
+        a = f_patch(parts, state)
+        b = f_gather(parts, state)
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
 
 def np_spread_phase(height, pool, mask, drain_particles):
     """Loop transcription of SpreadPool over one phase with snapshot

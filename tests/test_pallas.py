@@ -73,6 +73,23 @@ class TestPoolPallas:
             np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-7)
             np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), atol=1e-7)
 
+    def test_pair_kernel_matches_xla_path(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from noize_tpu.erosion import pool as PO
+        from noize_tpu.erosion import pool_pallas as PP
+
+        res = 32
+        rng = np.random.default_rng(7)
+        h = jnp.asarray(rng.uniform(0, 0.5, (res, res)).astype(np.float32))
+        p = jnp.asarray(rng.uniform(0, 0.05, (res, res)).astype(np.float32))
+        for dp in (True, False):
+            with pltpu.force_tpu_interpret_mode():
+                gp, gd = PP.pool_automata_pallas_pair(
+                    h, p, iterations=2, drain_particles=dp, block=8)
+            wp, wd = PO.pool_automata(h, p, iterations=2, drain_particles=dp)
+            np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-7)
+            np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), atol=1e-7)
+
 
 class TestFlowPallas:
     def test_matches_xla_path(self):
