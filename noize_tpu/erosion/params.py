@@ -52,6 +52,9 @@ class ErosionParameters:
     PILING_RADIUS: int = 15
     MIN_PILE_INCREMENT: float = 1.0
     PILE_THRESHOLD: float = 2.0
+    # opt-in serial-faithful Manhattan-ring pile solver (PARITY.md D3);
+    # default is the TPU-fast separable tent profile
+    EXACT_PILES: bool = False
 
 
 @dataclass(frozen=True)
@@ -86,6 +89,7 @@ class ErosionSettings:
     PILING_RADIUS: int = 15
     MIN_PILE_INCREMENT: float = 1.0
     PILE_THRESHOLD: float = 2.0  # meters
+    EXACT_PILES: bool = False
 
     ENABLE_THERMAL: bool = True
     TALUS: float = 55.0
@@ -121,4 +125,5 @@ class ErosionSettings:
             PILING_RADIUS=self.PILING_RADIUS,
             MIN_PILE_INCREMENT=self.MIN_PILE_INCREMENT,
             PILE_THRESHOLD=self.PILE_THRESHOLD,
+            EXACT_PILES=self.EXACT_PILES,
         )

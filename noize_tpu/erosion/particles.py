@@ -163,8 +163,16 @@ def _patch_step_values(patch_ctx, row_i, col_i, res: int):
     )
     ohr = (lr[:, :, None] == iota).astype(_F32)            # [N, 3, P]
     ohc = (lc[:, :, None] == iota).astype(_F32)
-    tmp = jnp.einsum("nap,nmpq->nmaq", ohr, patches)       # [N, 3, 3, P]
-    win = jnp.einsum("nbq,nmaq->nmab", ohc, tmp)           # [N, 3, 3, 3]
+    # elementwise broadcast-multiply-sum, NOT einsum: a batched [3,P]×[P,P]
+    # matmul dispatches N tiny MXU ops (measured ~0.4 ms/step — ruinous)
+    # and default TPU dot precision is bf16 (breaks bit-exactness); the
+    # VPU form fuses and keeps f32 (products are exactly 0 or x)
+    tmp = jnp.sum(
+        ohr[:, None, :, :, None] * patches[:, :, None, :, :], axis=3
+    )                                                      # [N, 3, 3, P]
+    win = jnp.sum(
+        tmp[:, :, :, None, :] * ohc[:, None, None, :, :], axis=4
+    )                                                      # [N, 3, 3, 3]
     nb = jnp.stack(
         [
             win[:, 1, 1 + int(_NB_DR[d]), 1 + int(_NB_DC[d])]
@@ -361,7 +369,7 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
 
 def descend_all(p: Particles, state: WorldState, params, height_scale,
                 patch_res, res: int, max_steps: int = None,
-                chunk: int = 8, patch_k: int = 4):
+                chunk: int = 8, patch_k: int = 0):
     """Run the full descent loop; returns accumulated event maps.
 
     The reference loop runs until every particle dies; the age cap MAXAGE
@@ -377,9 +385,12 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
 
     ``patch_k``: steps served per patch prefetch (see _gather_patches) —
     divides ``chunk``; the per-step map reads then cost one-hot
-    contractions instead of gathers, amortizing the TPU gather op's fixed
-    cost patch_k-fold.  0 disables (one gather per step), and grids
-    smaller than the patch fall back automatically.
+    contractions instead of gathers.  Default 0 (one gather per step):
+    measured on TPU v5e, gather cost stops being fixed around ~25K
+    elements (~200M elem/s random-access beyond), so the 243·N patch
+    gather costs ~10× a 10·N step gather and the prefetch LOSES ~5×
+    (51 vs 11 ms per 1000-particle descent at 2048²).  The path is kept
+    (bit-exact, tested) for hardware where the trade flips.
     """
     steps = (params.MAXAGE + 1) if max_steps is None else max_steps
     n_chunks = -(-steps // chunk)

@@ -110,6 +110,169 @@ def pile_deposit(pile_map, radius: int):
     return _disperse_axis(_disperse_axis(pile_map, taps, 0), taps, 1)
 
 
+# --------------------------------------------------------------------------
+# Exact PileSolver (opt-in): serial-faithful transcription of the reference
+# Manhattan-ring algorithm, including its quirks — duplicate ring vertices
+# with desynchronized value caches, modified-only commits with last-write-
+# wins, out-of-bounds vertices skipped.  The default tent profile
+# (pile_deposit) is the TPU-fast approximation; this path exists for
+# parity scrutiny (PARITY.md D3) and small/interactive runs.
+# Reference: PileSolver / ManhattanVertex, LiveErosionDataTypes.cs:1052-1228.
+
+_PILE_TABLES = {}
+
+
+def _pile_tables(radius: int):
+    """Static vertex/visit tables for one solver radius.
+
+    Slots enumerate exactly as PileSolver.Init: dist 0..radius-1, dir
+    (up,right),(right,down),(down,left),(left,up), i in 0..dist+1 with
+    offset = dist·dirA + i·(dirB − dirA).  Visits flatten DepositSediment's
+    (round, slot) iteration: round 1..radius over every slot with
+    dist < round, in slot order."""
+    if radius in _PILE_TABLES:
+        return _PILE_TABLES[radius]
+    dirs = [(1, 0), (0, 1), (-1, 0), (0, -1)]  # up, right, down, left
+    pairs = [(dirs[0], dirs[1]), (dirs[1], dirs[2]),
+             (dirs[2], dirs[3]), (dirs[3], dirs[0])]
+    off_r, off_c, dist_l = [], [], []
+    for dist in range(radius):
+        for (ar, ac), (br, bc) in pairs:
+            for i in range(dist + 2):
+                off_r.append(dist * ar + i * (br - ar))
+                off_c.append(dist * ac + i * (bc - ac))
+                dist_l.append(dist)
+    off_r = np.asarray(off_r, np.int32)
+    off_c = np.asarray(off_c, np.int32)
+    dist_l = np.asarray(dist_l, np.int32)
+    s = len(off_r)
+    # occurrence rank per duplicated cell (commit passes: later rank wins)
+    seen = {}
+    rank = np.zeros(s, np.int32)
+    for k in range(s):
+        cell = (int(off_r[k]), int(off_c[k]))
+        rank[k] = seen.get(cell, 0)
+        seen[cell] = rank[k] + 1
+    visit_slot, visit_round = [], []
+    for rnd in range(1, radius + 1):
+        for k in range(s):
+            if dist_l[k] < rnd:
+                visit_slot.append(k)
+                visit_round.append(rnd)
+    onehot = np.zeros((len(visit_slot), s), np.float32)
+    onehot[np.arange(len(visit_slot)), visit_slot] = 1.0
+    tables = dict(
+        off_r=off_r, off_c=off_c, rank=rank, n_ranks=int(rank.max()) + 1,
+        onehot=onehot, visit_round=np.asarray(visit_round, np.float32),
+    )
+    _PILE_TABLES[radius] = tables
+    return tables
+
+
+def _handle_pile(height, r0, c0, amount, increment, radius: int):
+    """HandlePile (LiveErosionDataTypes.cs:1157-1166) for one pile: sweep
+    DepositSediment until the volume is placed, then commit.
+
+    The solver state is the per-slot value cache ``vals`` — duplicates of
+    the same cell hold independent copies (the reference's desync is part
+    of the algorithm).  Each visit is an elementwise one-hot update over
+    the ~S slot vector; dynamic per-visit indexing would be a TPU gather
+    per step."""
+    import jax
+
+    t = _pile_tables(radius)
+    res_r, res_c = height.shape
+    rows = r0 + jnp.asarray(t["off_r"])
+    cols = c0 + jnp.asarray(t["off_c"])
+    valid = (rows >= 0) & (cols >= 0) & (rows < res_r) & (cols < res_c)
+    cr = jnp.clip(rows, 0, res_r - 1)
+    cc = jnp.clip(cols, 0, res_c - 1)
+    vals0 = height[cr, cc]
+    onehot = jnp.asarray(t["onehot"])
+    vrounds = jnp.asarray(t["visit_round"])
+    validf = valid
+
+    def sweep(carry):
+        vals, modified, rem_total = carry
+        amount_sweep = rem_total
+
+        def visit(c, inp):
+            vals, modified, deposited = c
+            oh, rnd = inp
+            ohb = oh > 0.0
+            remaining = amount_sweep - deposited
+            level = vals[0] + increment * rnd
+            cur = jnp.sum(jnp.where(ohb, vals, 0.0))
+            ok = jnp.any(ohb & validf) & (cur < level) & (remaining > 0.0)
+            diff = jnp.where(ok, jnp.minimum(increment, remaining), 0.0)
+            vals = jnp.where(ohb, vals + diff, vals)
+            modified = modified | (ohb & ok)
+            return (vals, modified, deposited + diff), None
+
+        (vals, modified, deposited), _ = jax.lax.scan(
+            visit, (vals, modified, jnp.float32(0.0)), (onehot, vrounds)
+        )
+        return vals, modified, amount_sweep - deposited
+
+    def cond(carry):
+        return carry[2] > 0.0
+
+    vals, modified, _ = jax.lax.while_loop(
+        cond, sweep,
+        (vals0, jnp.zeros(vals0.shape, bool), amount),
+    )
+
+    # CommitChanges: modified & valid slots write their cached val, in slot
+    # order (last write wins).  Ranks split duplicates so each scatter pass
+    # has unique in-grid targets; unmodified/invalid slots route to a trash
+    # row/col on a padded copy.
+    padded = jnp.zeros((res_r + 1, res_c + 1), height.dtype)
+    padded = padded.at[:res_r, :res_c].set(height)
+    for rk in range(t["n_ranks"]):
+        sel = np.where(t["rank"] == rk)[0]
+        if sel.size == 0:
+            continue
+        sel = jnp.asarray(sel)
+        m = modified[sel] & valid[sel]
+        tr = jnp.where(m, rows[sel], res_r)
+        tc = jnp.where(m, cols[sel], res_c)
+        padded = padded.at[tr, tc].set(vals[sel])
+    return padded[:res_r, :res_c]
+
+
+def exact_pile_deposit(height, pile_map, params, height_scale,
+                       max_piles: int = 64):
+    """Apply the exact PileSolver to every pile cell, serially in ascending
+    cell order (the reference drains a hash-ordered queue — order there is
+    nondeterministic; ascending index is the deterministic stand-in).
+    Processes up to ``max_piles`` largest piles (piles are rare — a cell
+    must bank > PILE_THRESHOLD metres in one cycle)."""
+    import jax
+
+    res = height.shape[0]
+    inc = jnp.float32(params.MIN_PILE_INCREMENT / height_scale)
+    flat = pile_map.reshape(-1)
+    vols, idxs = jax.lax.top_k(flat, max_piles)
+    big = jnp.int32(res * res)
+    order = jnp.argsort(jnp.where(vols > 0.0, idxs, big))
+    vols = jnp.take(vols, order)
+    idxs = jnp.take(idxs, order)
+
+    def body(i, h):
+        vol = vols[i]
+        idx = idxs[i]
+        return jax.lax.cond(
+            vol > 0.0,
+            lambda hh: _handle_pile(
+                hh, idx // res, idx % res, vol, inc, params.PILING_RADIUS
+            ),
+            lambda hh: hh,
+            h,
+        )
+
+    return jax.lax.fori_loop(0, max_piles, body, height)
+
+
 def write_sediment_map(height, sed_acc, params, height_scale):
     """ErodeHeightMaps + WriteSedimentMap parity split:
 
@@ -125,6 +288,19 @@ def write_sediment_map(height, sed_acc, params, height_scale):
     disperse_part = jnp.where(sed_acc <= thresh, sed_acc, 0.0)
     pile_part = jnp.where(sed_acc > thresh, sed_acc, 0.0)
     delta = kernel_disperse(disperse_part, KERNEL5)
+    if params.EXACT_PILES:
+        # breaker applies to dispersal only (KernelDisperse's per-tap skip);
+        # the exact solver commits heights directly, breaker-free, exactly
+        # as PileSolver.CommitChanges does
+        new_height = height + delta
+        ok = (new_height >= 0.0) & (new_height <= 1.0)
+        new_height = jnp.where(ok, new_height, height)
+        return jax.lax.cond(
+            jnp.any(pile_part > 0.0),
+            lambda h, p: exact_pile_deposit(h, p, params, height_scale),
+            lambda h, p: h,
+            new_height, pile_part,
+        )
     # piles are rare (a cell must accumulate > PILE_THRESHOLD metres in one
     # cycle); skip the wide cone convolution entirely when none exist
     delta = delta + jax.lax.cond(

@@ -174,9 +174,9 @@ def erosion_cycle(state: SimState, settings: ErosionSettings, meta: TileSetMeta)
     import jax as _jax
 
     if _jax.default_backend() == "tpu" and res % 256 == 0:
-        from .pool_pallas import pool_automata_pallas
+        from .pool_pallas import pool_automata_pallas_pair
 
-        pool, drains = pool_automata_pallas(
+        pool, drains = pool_automata_pallas_pair(
             world.height,
             world.pool,
             iterations=settings.WATER_STEPS,

@@ -325,6 +325,117 @@ class TestSediment:
         assert out[4, 5] > 0.5  # neighbors still receive their share
 
 
+def np_pile_solver(height, piles, radius, increment):
+    """Loop transcription of PileSolver/ManhattanVertex (LiveErosionData
+    Types.cs:1052-1228): per-slot value caches (duplicates desync),
+    DepositSediment rounds with live verts[0].val levels, HandlePile
+    sweep-until-placed, modified-only last-wins commits.  ``piles`` is
+    [(row, col, amount)] in processing order."""
+    height = height.copy()
+    res = height.shape[0]
+    dirs = [(1, 0), (0, 1), (-1, 0), (0, -1)]
+    pairs = [(dirs[0], dirs[1]), (dirs[1], dirs[2]),
+             (dirs[2], dirs[3]), (dirs[3], dirs[0])]
+    slots = []  # (off, dist)
+    for dist in range(radius):
+        for (ar, ac), (br, bc) in pairs:
+            for i in range(dist + 2):
+                slots.append(((dist * ar + i * (br - ar),
+                               dist * ac + i * (bc - ac)), dist))
+    for (r0, c0, amount) in piles:
+        vals, valid, modified, pos = [], [], [], []
+        for (dr, dc), _ in slots:
+            r, c = r0 + dr, c0 + dc
+            ok = 0 <= r < res and 0 <= c < res
+            valid.append(ok)
+            pos.append((r, c))
+            vals.append(np.float32(height[r, c]) if ok else np.float32(0))
+            modified.append(False)
+        remaining = np.float32(amount)
+        while remaining > 0.0:
+            amt = remaining
+            deposited = np.float32(0.0)
+            remaining = amt
+            stop = False
+            for rnd in range(1, radius + 1):
+                if stop:
+                    break
+                level = vals[0] + np.float32(increment) * np.float32(rnd)
+                for s, (_, dist) in enumerate(slots):
+                    if dist >= rnd:
+                        continue
+                    if not valid[s] or not vals[s] < level:
+                        continue
+                    diff = np.float32(min(np.float32(increment), remaining))
+                    vals[s] = np.float32(vals[s] + diff)
+                    modified[s] = True
+                    deposited = np.float32(deposited + diff)
+                    remaining = np.float32(amt - deposited)
+                    if remaining <= 0.0:
+                        stop = True
+                        break
+                else:
+                    continue
+                break
+            if stop:
+                remaining = np.float32(0.0)
+        for s in range(len(slots)):
+            if valid[s] and modified[s]:
+                height[pos[s]] = vals[s]
+    return height
+
+
+class TestExactPileSolver:
+    def _height(self, res=24):
+        rng = np.random.default_rng(21)
+        return rng.uniform(0.1, 0.4, (res, res)).astype(np.float32)
+
+    def test_single_pile_matches_reference_transcription(self):
+        h = self._height()
+        got = np.asarray(SE._handle_pile(
+            jnp.asarray(h), jnp.int32(11), jnp.int32(12),
+            jnp.float32(0.02), jnp.float32(0.001), 4))
+        want = np_pile_solver(h, [(11, 12, 0.02)], 4, 0.001)
+        np.testing.assert_array_equal(got, want)
+
+    def test_border_pile_skips_out_of_bounds(self):
+        h = self._height()
+        got = np.asarray(SE._handle_pile(
+            jnp.asarray(h), jnp.int32(1), jnp.int32(22),
+            jnp.float32(0.015), jnp.float32(0.001), 4))
+        want = np_pile_solver(h, [(1, 22, 0.015)], 4, 0.001)
+        np.testing.assert_array_equal(got, want)
+
+    def test_exact_deposit_orders_piles_by_cell_index(self):
+        h = self._height()
+        pile_map = np.zeros_like(h)
+        pile_map[15, 4] = 0.012   # later cell index
+        pile_map[6, 18] = 0.02    # earlier cell index → processed first
+        params = ErosionParameters(PILING_RADIUS=4, EXACT_PILES=True,
+                                   MIN_PILE_INCREMENT=1.0)
+        got = np.asarray(SE.exact_pile_deposit(
+            jnp.asarray(h), jnp.asarray(pile_map), params, 1000.0))
+        want = np_pile_solver(
+            h, [(6, 18, 0.02), (15, 4, 0.012)], 4, 1.0 / 1000.0)
+        np.testing.assert_array_equal(got, want)
+
+    def test_write_sediment_map_exact_mode(self):
+        h = self._height()
+        sed = np.zeros_like(h)
+        sed[9, 9] = 0.004   # above PILE_THRESHOLD/HEIGHT = 0.002
+        sed[3, 3] = 0.001   # dispersal path
+        params = ErosionParameters(PILING_RADIUS=4, EXACT_PILES=True)
+        out = np.asarray(SE.write_sediment_map(
+            jnp.asarray(h), jnp.asarray(sed), params, 1000.0))
+        assert out[9, 9] > h[9, 9]          # pile raised the center
+        assert not np.array_equal(out, h)
+        # tent-mode result differs (different profile) but both add mass
+        tent = np.asarray(SE.write_sediment_map(
+            jnp.asarray(h), jnp.asarray(sed),
+            ErosionParameters(PILING_RADIUS=4), 1000.0))
+        assert out.sum() > h.sum() and tent.sum() > h.sum()
+
+
 class TestErosionCycle:
     def test_cycle_properties(self):
         res = 48
