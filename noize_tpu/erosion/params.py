@@ -55,6 +55,9 @@ class ErosionParameters:
     # opt-in serial-faithful Manhattan-ring pile solver (PARITY.md D3);
     # default is the TPU-fast separable tent profile
     EXACT_PILES: bool = False
+    # beyond-parity extension: plant density scales particle friction
+    # (0 = off = reference behavior; Vegetation.cs leaves growth a stub)
+    VEGETATION_FRICTION: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -90,6 +93,7 @@ class ErosionSettings:
     MIN_PILE_INCREMENT: float = 1.0
     PILE_THRESHOLD: float = 2.0  # meters
     EXACT_PILES: bool = False
+    VEGETATION_FRICTION: float = 0.0
 
     ENABLE_THERMAL: bool = True
     TALUS: float = 55.0
@@ -126,4 +130,5 @@ class ErosionSettings:
             MIN_PILE_INCREMENT=self.MIN_PILE_INCREMENT,
             PILE_THRESHOLD=self.PILE_THRESHOLD,
             EXACT_PILES=self.EXACT_PILES,
+            VEGETATION_FRICTION=self.VEGETATION_FRICTION,
         )

@@ -100,28 +100,31 @@ _NB_DR = np.array([o[0] for o in NEIGHBOR_OFFSETS], np.int32)
 _NB_DC = np.array([o[1] for o in NEIGHBOR_OFFSETS], np.int32)
 
 
-def _gather_step_values(combo, row_i, col_i, res):
+def _gather_step_values(combo, row_i, col_i, res, with_plants=False):
     """ALL of a step's map lookups in ONE gather: 8 all-heights neighbors +
-    the particle's WIH + flow.  A TPU gather op costs ~0.13 ms *fixed*
-    regardless of element count, so the step must issue exactly one.
+    the particle's WIH + flow (+ plant density when the vegetation friction
+    extension is on).  A TPU gather op costs ~0.13 ms *fixed* regardless of
+    element count, so the step must issue exactly one.
 
-    ``combo`` = concat([wih.ravel(), all_h.ravel(), flow.ravel()]).
-    Returns (nb[N,8] quantized, current_h[N], flow_here[N])."""
+    ``combo`` = concat([wih.ravel(), all_h.ravel(), flow.ravel()[,
+    plants.ravel()]]).
+    Returns (nb[N,8] quantized, current_h[N], flow_here[N], plants_here)."""
     n = row_i.shape[0]
     sz = res * res
     r = jnp.clip(row_i[:, None] + jnp.asarray(_NB_DR)[None, :], 0, res - 1)
     c = jnp.clip(col_i[:, None] + jnp.asarray(_NB_DC)[None, :], 0, res - 1)
     center = row_i * res + col_i
-    idx = jnp.concatenate(
-        [
-            (r * res + c).reshape(-1) + sz,   # all_h neighbors
-            center,                            # wih at the particle
-            center + 2 * sz,                   # flow at the particle
-        ]
-    )
-    vals = jnp.take(combo, idx)
+    parts = [
+        (r * res + c).reshape(-1) + sz,   # all_h neighbors
+        center,                            # wih at the particle
+        center + 2 * sz,                   # flow at the particle
+    ]
+    if with_plants:
+        parts.append(center + 3 * sz)
+    vals = jnp.take(combo, jnp.concatenate(parts))
     nb = _quantize(vals[:8 * n].reshape(n, 8))
-    return nb, vals[8 * n:9 * n], vals[9 * n:]
+    plants_here = vals[10 * n:] if with_plants else None
+    return nb, vals[8 * n:9 * n], vals[9 * n:10 * n], plants_here
 
 
 def _gather_patches(combo, row_i, col_i, res: int, k: int):
@@ -243,21 +246,24 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
     active = was_alive & ~dehydrated & ~too_old
 
     # --- neighborhood -------------------------------------------------------
+    with_plants = getattr(params, "VEGETATION_FRICTION", 0.0) > 0.0
     if maps is None:
         wih_map = height_scale * (state.height + state.pool)
         all_h = wih_map + params.FLOW_HEIGHT_CONTRIBUTION * state.flow
-        combo = jnp.concatenate(
-            [wih_map.reshape(-1), all_h.reshape(-1), state.flow.reshape(-1)]
-        )
+        pieces = [wih_map.reshape(-1), all_h.reshape(-1), state.flow.reshape(-1)]
+        if with_plants:
+            pieces.append(state.plants.reshape(-1))
+        combo = jnp.concatenate(pieces)
     else:
         combo = maps
     if patch_ctx is not None:
         nb, current_h, flow_here = _patch_step_values(
             patch_ctx, row_i, col_i, res
         )
+        plants_here = None
     else:
-        nb, current_h, flow_here = _gather_step_values(
-            combo, row_i, col_i, res
+        nb, current_h, flow_here, plants_here = _gather_step_values(
+            combo, row_i, col_i, res, with_plants=with_plants
         )
 
     # natural drain: argmin (first-wins) over nb, direction via WTORDER
@@ -270,6 +276,13 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
 
     eff_drag = params.DRAG * (1.0 - jnp.maximum(flow_here, 0.0))
     eff_friction = params.FRICTION * (1.0 - jnp.maximum(flow_here, 0.0))
+    if with_plants and plants_here is not None:
+        # beyond-parity extension (reference's vegetation is a WIP stub —
+        # Vegetation.cs:61-63): rooted ground resists erosion; plant
+        # density scales friction, capped at 2 stacked canopies
+        eff_friction = eff_friction * (
+            1.0 + params.VEGETATION_FRICTION * jnp.minimum(plants_here, 2.0)
+        )
 
     # constrained steering (ChooseHeading, :182-201) via select chains;
     # RING_TO_NB = [0,4,1,5,2,6,3,7] arithmetically: nb = ring//2 + 4·(ring&1)
@@ -396,16 +409,19 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
     n_chunks = -(-steps // chunk)
     shape = state.height.shape
     zeros = jnp.zeros(shape[0] * shape[1], _F32)
-    use_patches = patch_k > 0 and res >= 2 * patch_k + 1
+    with_plants = getattr(params, "VEGETATION_FRICTION", 0.0) > 0.0
+    use_patches = (patch_k > 0 and res >= 2 * patch_k + 1
+                   and not with_plants)  # patches carry 3 maps only
     if use_patches and chunk % patch_k:
         raise ValueError("patch_k must divide chunk")
     # world maps are invariant across the descent — compute once, not per
     # scan step (the dominant cost at production resolutions otherwise)
     wih_map = height_scale * (state.height + state.pool)
     all_h = wih_map + params.FLOW_HEIGHT_CONTRIBUTION * state.flow
-    maps = jnp.concatenate(
-        [wih_map.reshape(-1), all_h.reshape(-1), state.flow.reshape(-1)]
-    )
+    pieces = [wih_map.reshape(-1), all_h.reshape(-1), state.flow.reshape(-1)]
+    if with_plants:
+        pieces.append(state.plants.reshape(-1))
+    maps = jnp.concatenate(pieces)
 
     def step_body_gather(part, _):
         part, ev = descend_step(

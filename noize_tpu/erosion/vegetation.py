@@ -112,3 +112,85 @@ def grow(plants: Plants, state: WorldState) -> Plants:
     current = state.height[plants.row, plants.col]
     still = plants.alive & (jnp.abs(current - plants.height) < 1e-3)
     return plants._replace(alive=still)
+
+
+def grow_cycle(key, plants: Plants, state: WorldState, ptype: PlantType,
+               height_scale, patch_res, *,
+               moisture_gain: int = 10, drought_loss: int = 4,
+               erosion_shock: int = 10, mature_at: int = 80) -> Plants:
+    """Beyond-parity growth/decay cycle (the reference's Grow is an empty
+    stub — Vegetation.cs:61-63; this is the TPU framework's extension of
+    the surface the Plant struct clearly reaches for).
+
+    Per cycle, vectorized over all plant slots:
+      * environment cull — plants drown in pools, wash out in streams,
+        slide off slopes (the same gates CanSurvive applies at rooting);
+      * moisture — growth rises by ``moisture_gain`` (of 100) on cells
+        where water trafficked this cycle (track > 0), falls by
+        ``drought_loss`` otherwise; reaching 0 kills the plant;
+      * erosion shock — ground moving under a plant (cached height
+        mismatch) costs ``erosion_shock`` growth instead of outright death;
+      * reproduction — dead slots re-root as seedlings (growth 20) next to
+        a random mature donor (growth ≥ ``mature_at``), jittered within
+        ``spawn_range``, subject to CanSurvive incl. the density cap.
+
+    Returns the updated Plants; rebuild the density map from it with
+    ``density_map``."""
+    res = state.height.shape[0]
+    nslots = plants.row.shape[0]
+    n = normal_map(state, height_scale, patch_res)
+    env_ok = (
+        (state.pool <= ptype.max_pool_survival)
+        & (state.flow <= ptype.max_stream_survival)
+        & (n[..., 1] <= ptype.max_angle)
+    )
+
+    cur_height = state.height[plants.row, plants.col]
+    alive = plants.alive & env_ok[plants.row, plants.col]
+    moist = state.track[plants.row, plants.col] > 0.0
+    growth = plants.growth + jnp.where(moist, moisture_gain, -drought_loss)
+    growth = growth - jnp.where(
+        jnp.abs(cur_height - plants.height) >= 1e-3, erosion_shock, 0
+    )
+    growth = jnp.clip(growth, 0, 100)
+    alive = alive & (growth > 0)
+
+    # reproduction into freed slots
+    kd, kr, kc = jax.random.split(key, 3)
+    spawn = max(1, int(ptype.spawn_range))
+    donor = jax.random.randint(kd, (nslots,), 0, nslots)
+    d_mature = alive[donor] & (growth[donor] >= mature_at)
+    cand_r = jnp.clip(
+        plants.row[donor] + jax.random.randint(kr, (nslots,), -spawn, spawn + 1),
+        0, res - 1,
+    )
+    cand_c = jnp.clip(
+        plants.col[donor] + jax.random.randint(kc, (nslots,), -spawn, spawn + 1),
+        0, res - 1,
+    )
+    root_ok = (
+        d_mature
+        & env_ok[cand_r, cand_c]
+        & (state.plants[cand_r, cand_c] <= ptype.max_density)
+    )
+    seeded = ~alive & root_ok
+    row = jnp.where(seeded, cand_r, plants.row)
+    col = jnp.where(seeded, cand_c, plants.col)
+    growth = jnp.where(seeded, 20, growth)
+    alive = alive | seeded
+    return Plants(
+        type_idx=plants.type_idx,
+        growth=growth,
+        row=row,
+        col=col,
+        height=state.height[row, col],
+        alive=alive,
+    )
+
+
+def density_map(shape, plants: Plants, ptype: PlantType):
+    """Rebuild the world's plant-density map from the plant set: each
+    plant splats ChangeVegetationDensity's stamp scaled by its growth
+    fraction and the type's density modifier."""
+    mag = (plants.growth.astype(_F32) / 100.0) * ptype.density_modifier
+    return splat_density(jnp.zeros(shape, _F32), plants, magnitude=mag)

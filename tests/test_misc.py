@@ -78,6 +78,105 @@ class TestVegetation:
         out = VG.grow(plants, moved)
         assert not bool(np.asarray(out.alive).any())
 
+    def _state_with(self, **kw):
+        fields = dict(height=self.state.height, pool=self.state.pool,
+                      flow=self.state.flow, track=self.state.track,
+                      plants=self.state.plants)
+        fields.update(kw)
+        return WorldState(**fields)
+
+    def test_grow_cycle_moisture_and_drought(self):
+        pt = VG.PlantType(max_angle=1e9)
+        plants = VG.root_plants(jax.random.PRNGKey(2), pt, self.state, 12,
+                                100.0, 1.0)
+        wet = self._state_with(track=jnp.ones_like(self.state.track))
+        grown = VG.grow_cycle(jax.random.PRNGKey(3), plants, wet, pt,
+                              100.0, 1.0)
+        assert np.all(np.asarray(grown.growth)[np.asarray(grown.alive)]
+                      >= np.asarray(plants.growth)[np.asarray(grown.alive)])
+        # drought: growth 20 − 4/cycle → dead within 5 cycles
+        dry = self.state
+        p = plants
+        for i in range(6):
+            p = VG.grow_cycle(jax.random.PRNGKey(10 + i), p, dry, pt,
+                              100.0, 1.0)
+        assert not bool(np.asarray(p.alive).any())
+
+    def test_grow_cycle_drowns_in_pools(self):
+        pt = VG.PlantType(max_angle=1e9, max_pool_survival=1e-4)
+        plants = VG.root_plants(jax.random.PRNGKey(4), pt, self.state, 8,
+                                100.0, 1.0)
+        flooded = self._state_with(pool=self.state.pool + 0.01)
+        out = VG.grow_cycle(jax.random.PRNGKey(5), plants, flooded, pt,
+                            100.0, 1.0)
+        assert not bool(np.asarray(out.alive).any())
+
+    def test_grow_cycle_reproduces_near_mature(self):
+        pt = VG.PlantType(max_angle=1e9, spawn_range=2.0, max_density=10.0)
+        plants = VG.root_plants(jax.random.PRNGKey(6), pt, self.state, 32,
+                                100.0, 1.0)
+        # kill half the slots, make survivors mature, keep ground moist
+        alive0 = np.asarray(plants.alive).copy()
+        alive0[: 16] = False
+        plants = plants._replace(
+            alive=jnp.asarray(alive0),
+            growth=jnp.full_like(plants.growth, 90),
+        )
+        wet = self._state_with(track=jnp.ones_like(self.state.track))
+        out = VG.grow_cycle(jax.random.PRNGKey(7), plants, wet, pt,
+                            100.0, 1.0)
+        n_before = int(alive0.sum())
+        n_after = int(np.asarray(out.alive).sum())
+        assert n_after > n_before  # seedlings rooted in freed slots
+        seeded = np.asarray(out.alive) & ~alive0
+        assert np.all(np.asarray(out.growth)[seeded] == 20)
+        # seedlings land within spawn_range (Chebyshev) of some survivor
+        sr = np.asarray(out.row)[seeded][:, None]
+        sc = np.asarray(out.col)[seeded][:, None]
+        pr = np.asarray(plants.row)[alive0][None, :]
+        pc = np.asarray(plants.col)[alive0][None, :]
+        cheb = np.maximum(np.abs(sr - pr), np.abs(sc - pc))
+        assert np.all(cheb.min(axis=1) <= 2)
+
+    def test_density_map_scales_with_growth(self):
+        pt = VG.PlantType(max_angle=1e9, density_modifier=2.0)
+        plants = VG.root_plants(jax.random.PRNGKey(8), pt, self.state, 4,
+                                100.0, 1.0)
+        full = VG.density_map((32, 32), plants._replace(
+            growth=jnp.full_like(plants.growth, 100)), pt)
+        half = VG.density_map((32, 32), plants._replace(
+            growth=jnp.full_like(plants.growth, 50)), pt)
+        np.testing.assert_allclose(np.asarray(half) * 2.0, np.asarray(full),
+                                   atol=1e-6)
+
+    def test_vegetation_friction_slows_particles(self):
+        """VEGETATION_FRICTION > 0: dense cover increases effective
+        friction, so particles travel less far down the same slope."""
+        from noize_tpu.erosion import particles as P
+        from noize_tpu.erosion.params import ErosionParameters
+
+        res = 64
+        z = np.tile(np.linspace(1.0, 0.0, res, dtype=np.float32), (res, 1))
+        dense = WorldState(
+            height=jnp.asarray(z), pool=jnp.zeros((res, res)),
+            flow=jnp.zeros((res, res)), track=jnp.zeros((res, res)),
+            plants=jnp.full((res, res), 2.0),
+        )
+        parts = P.spawn(jax.random.PRNGKey(9), 64, res)
+        base = ErosionParameters(MAXAGE=16, FRICTION=0.05)
+        veg = ErosionParameters(MAXAGE=16, FRICTION=0.05,
+                                VEGETATION_FRICTION=5.0)
+        out_b = P.descend_all(parts, dense, base, 1000.0, 1.0, res)
+        out_v = P.descend_all(parts, dense, veg, 1000.0, 1.0, res)
+        # particles advance one cell per step either way; friction acts on
+        # velocity → carry capacity → erosion.  Rooted ground erodes less.
+        sed_b = np.asarray(out_b[3])
+        sed_v = np.asarray(out_v[3])
+        eroded_b = -sed_b.clip(max=0).sum()
+        eroded_v = -sed_v.clip(max=0).sum()
+        assert eroded_v < eroded_b
+        assert not np.array_equal(sed_v, sed_b)
+
 
 class TestStats:
     def test_regression_parity(self):
