@@ -243,6 +243,14 @@ def main():
         f_poolp = jax.jit(lambda h, p: POOLP.pool_automata_pallas(
             h, p, iterations=es_b.WATER_STEPS, drain_particles=True))
         _phase("pool_automata_x10_pallas", f_poolp, hb, pool0, reps=reps)
+        f_poolpp = jax.jit(lambda h, p: POOLP.pool_automata_pallas_pair(
+            h, p, iterations=es_b.WATER_STEPS, drain_particles=True))
+        _phase("pool_automata_x10_pallas_pair", f_poolpp, hb, pool0,
+               reps=reps)
+        # sparse water — the production shape (pools sit in basins)
+        pool_sp = jnp.zeros_like(hb).at[rb // 2:rb // 2 + rb // 8, :].set(1e-3)
+        _phase("pool_automata_x10_pair_sparse", f_poolpp, hb, pool_sp,
+               reps=reps)
     f_thermal = jax.jit(lambda h: __import__("noize_tpu.ops.thermal", fromlist=["thermal_erosion"]).thermal_erosion(
         h, es_b.TALUS, es_b.THERMAL_STEP, float(meta_b.tile_size) / meta_b.height, iterations=es_b.THERMAL_CYCLES))
     _phase("thermal", f_thermal, hb, reps=reps)

@@ -73,6 +73,26 @@ class TestPoolPallas:
             np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-7)
             np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), atol=1e-7)
 
+    def test_pair_kernel_sparse_water(self):
+        """Sparse water (the production shape — pools sit in basins):
+        results must match the XLA path exactly."""
+        from jax.experimental.pallas import tpu as pltpu
+        from noize_tpu.erosion import pool as PO
+        from noize_tpu.erosion import pool_pallas as PP
+
+        res = 64
+        rng = np.random.default_rng(9)
+        h = jnp.asarray(rng.uniform(0, 0.5, (res, res)).astype(np.float32))
+        p = np.zeros((res, res), np.float32)
+        p[40:48, :] = rng.uniform(0, 0.05, (8, res)).astype(np.float32)
+        p = jnp.asarray(p)
+        with pltpu.force_tpu_interpret_mode():
+            gp, gd = PP.pool_automata_pallas_pair(
+                h, p, iterations=2, drain_particles=True, block=8)
+        wp, wd = PO.pool_automata(h, p, iterations=2, drain_particles=True)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), atol=1e-7)
+
     def test_pair_kernel_matches_xla_path(self):
         from jax.experimental.pallas import tpu as pltpu
         from noize_tpu.erosion import pool as PO
