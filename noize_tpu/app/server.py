@@ -58,6 +58,7 @@ class TileServer:
         self.queue: "queue.Queue[TileOrder]" = queue.Queue()
         self.served: int = 0
         self.batches: int = 0
+        self.errors: List[Exception] = []
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
@@ -80,10 +81,18 @@ class TileServer:
             self._thread.join(timeout=10)
 
     def drain(self, timeout: float = 120.0) -> bool:
+        """Wait until every submitted order has been fully processed.
+
+        Uses the queue's unfinished-task count (orders are marked done only
+        AFTER their batch completes and callbacks fire), so there is no
+        window where a dequeued-but-unprocessed order looks drained.
+        Returns False on timeout or if the worker thread has died."""
         deadline = time.time() + timeout
         while time.time() < deadline:
-            if self.queue.empty() and not getattr(self, "_in_flight", False):
+            if self.queue.unfinished_tasks == 0:
                 return True
+            if self._thread is not None and not self._thread.is_alive():
+                return self.queue.unfinished_tasks == 0
             time.sleep(0.005)
         return False
 
@@ -105,35 +114,50 @@ class TileServer:
 
     def _loop(self):
         import jax
+        import logging
 
+        log = logging.getLogger(__name__)
         while not self._stop.is_set():
             orders = self._collect_batch()
             if not orders:
                 continue
-            self._in_flight = True
-            t0 = time.perf_counter()
-            # pad the batch to the fixed compiled size with repeats
-            reqs = [o.request for o in orders]
-            origins = np.asarray(
-                [self.config.meta.tile_origin(r.pos) for r in reqs], np.int32
-            )
-            pad = self.batch_size - len(origins)
-            if pad > 0:
-                origins = np.concatenate([origins, np.repeat(origins[-1:], pad, 0)])
-            tiles = TL.tile_batch(
-                self.config, origins, mesh=self.mesh,
-                seed=self.seed + self.batches,
-            )
-            jax.block_until_ready(tiles)
-            dt = (time.perf_counter() - t0) * 1e3
-            self.batches += 1
-            for i, order in enumerate(orders):
-                self.served += 1
-                if order.on_complete is not None:
-                    order.on_complete(ServedTile(
-                        request=order.request,
-                        heights=tiles[i],
-                        batch_id=self.batches,
-                        latency_ms=dt,
-                    ))
-            self._in_flight = False
+            try:
+                t0 = time.perf_counter()
+                # pad the batch to the fixed compiled size with repeats
+                reqs = [o.request for o in orders]
+                origins = np.asarray(
+                    [self.config.meta.tile_origin(r.pos) for r in reqs],
+                    np.int32,
+                )
+                pad = self.batch_size - len(origins)
+                if pad > 0:
+                    origins = np.concatenate(
+                        [origins, np.repeat(origins[-1:], pad, 0)]
+                    )
+                # seed is the GLOBAL seed — per-tile randomness is derived
+                # from world position inside tile_batch, so re-requested
+                # tiles reproduce regardless of batch membership
+                tiles = TL.tile_batch(
+                    self.config, origins, mesh=self.mesh, seed=self.seed,
+                )
+                jax.block_until_ready(tiles)
+                dt = (time.perf_counter() - t0) * 1e3
+                self.batches += 1
+                for i, order in enumerate(orders):
+                    self.served += 1
+                    if order.on_complete is not None:
+                        order.on_complete(ServedTile(
+                            request=order.request,
+                            heights=tiles[i],
+                            batch_id=self.batches,
+                            latency_ms=dt,
+                        ))
+            except Exception as e:
+                self.errors.append(e)
+                log.exception("TileServer batch failed (%d orders dropped)",
+                              len(orders))
+            finally:
+                # mark every dequeued order done so drain() can't hang on
+                # a failed batch
+                for _ in orders:
+                    self.queue.task_done()

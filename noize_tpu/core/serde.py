@@ -25,6 +25,13 @@ import numpy as np
 
 MANIFEST = "files.json"
 
+# Native file format (serde_native.cpp): 32-byte header = u64 magic 'NZTFU'
+# (little-endian), u32 version, u32 reserved, u64 payload bytes, u64 FNV-1a
+# checksum.  The NumPy fallback must recognise it so checkpoints written on
+# a machine WITH the C++ toolchain restore on a machine without one.
+_NATIVE_MAGIC = (0x4E5A544655).to_bytes(8, "little")
+_NATIVE_HEADER_BYTES = 32
+
 
 def _native():
     try:
@@ -33,6 +40,22 @@ def _native():
         return serde_native if serde_native.available() else None
     except Exception:
         return None
+
+
+def _numpy_read(path: str, dtype) -> np.ndarray:
+    """NumPy fallback read that understands both layouts: raw dumps from
+    ``arr.tofile`` AND native-format files (NZTFU header + payload), so a
+    checkpoint written with the C++ pool restores without the toolchain."""
+    with open(path, "rb") as fh:
+        head = fh.read(_NATIVE_HEADER_BYTES)
+        if len(head) == _NATIVE_HEADER_BYTES and head[:8] == _NATIVE_MAGIC:
+            nbytes = int.from_bytes(head[16:24], "little")
+            payload = fh.read(nbytes)
+            if len(payload) != nbytes:
+                raise IOError(f"truncated native checkpoint: {path}")
+            return np.frombuffer(payload, dtype=np.dtype(dtype))
+        fh.seek(0)
+        return np.fromfile(fh, dtype=np.dtype(dtype))
 
 
 @dataclass
@@ -141,7 +164,7 @@ class SerdeManager:
         if nat is not None:
             flat = nat.read_file(path, fo.dtype)
         else:
-            flat = np.fromfile(path, dtype=np.dtype(fo.dtype))
+            flat = _numpy_read(path, fo.dtype)
         if flat.size != fo.count:
             raise IOError(
                 f"corrupt checkpoint for {name!r}: {flat.size} != {fo.count}"

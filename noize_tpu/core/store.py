@@ -145,14 +145,39 @@ class PipelineStateManager:
         self.serde.save(name, arr, async_=async_)
         return True
 
-    def save_all(self, async_: bool = True):
+    def save_all(self, async_: bool = True) -> Dict[str, Exception]:
         """Checkpoint every array buffer; async by default (the native
         write pool overlaps disk IO with device compute), with a barrier
-        at the end."""
+        at the end.
+
+        Returns a ``{buffer_name: exception}`` map of failed writes (empty
+        when the checkpoint is complete) so callers can detect a partial
+        checkpoint; each failure is also logged."""
+        failures: Dict[str, Exception] = {}
         for name in self.names():
+            with self._mutex:
+                value = self._buffers.get(name)
+            try:
+                arr = np.asarray(value)
+            except Exception:
+                arr = np.asarray(None)
+            if arr.dtype == object or value is None:
+                continue  # non-array container (lists/dicts/refs) — not saved
             try:
                 self.save_buffer_to_disk(name, async_=async_)
-            except Exception:
-                pass
+            except Exception as e:  # disk full, IO error, native failure
+                failures[name] = e
         if self.serde is not None and async_:
-            self.serde.flush()
+            try:
+                self.serde.flush()
+            except Exception as e:
+                failures["<flush>"] = e
+        if failures:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "save_all: %d buffer(s) failed to checkpoint: %s",
+                len(failures),
+                {k: repr(v) for k, v in failures.items()},
+            )
+        return failures

@@ -17,6 +17,7 @@
 #include <cstring>
 #include <deque>
 #include <mutex>
+#include <set>
 #include <string>
 #include <thread>
 #include <vector>
@@ -100,13 +101,15 @@ class WritePool {
     return t;
   }
 
-  // Block until at least `ticket` writes have retired (tickets are issued
-  // sequentially, so waiting on the LAST submitted ticket == all flushed);
-  // ticket 0 waits for everything submitted so far.
+  // Block until ticket `ticket` ITSELF has retired.  With multiple
+  // workers jobs can finish out of order, so the wait condition is a
+  // contiguous-retirement watermark (lowest unfinished ticket − 1), not a
+  // raw completion count: watermark_ >= t guarantees every ticket <= t is
+  // done, including t.  Ticket 0 waits for everything submitted so far.
   int Wait(uint64_t ticket) {
     std::unique_lock<std::mutex> g(mu_);
     if (ticket == 0) ticket = next_ticket_ - 1;
-    done_cv_.wait(g, [&] { return completed_ >= ticket; });
+    done_cv_.wait(g, [&] { return watermark_ >= ticket; });
     int err = first_error_;
     return err;
   }
@@ -133,9 +136,14 @@ class WritePool {
       int rc = DoWrite(job);
       {
         std::lock_guard<std::mutex> g(mu_);
-        // count retirements — with multiple workers tickets can finish out
-        // of order, so a max-ticket watermark would release waiters early
         completed_ += 1;
+        retired_.insert(job.ticket);
+        // advance the contiguous watermark: out-of-order retirements park
+        // in retired_ until every lower ticket has also finished
+        while (!retired_.empty() && *retired_.begin() == watermark_ + 1) {
+          retired_.erase(retired_.begin());
+          ++watermark_;
+        }
         if (rc != 0 && first_error_ == 0) first_error_ = rc;
       }
       done_cv_.notify_all();
@@ -164,6 +172,8 @@ class WritePool {
   bool stop_;
   uint64_t next_ticket_;
   uint64_t completed_;
+  uint64_t watermark_ = 0;       // every ticket <= watermark_ has retired
+  std::set<uint64_t> retired_;   // retired tickets above the watermark
   int first_error_ = 0;
 };
 

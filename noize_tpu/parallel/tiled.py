@@ -79,9 +79,18 @@ def tile_batch(cfg: TilePipelineConfig, origins: np.ndarray,
 
     ``origins``: int array [T, 2] of (xpos, zpos) tile origins.
     Returns f32[T, R, R] heightmaps.
+
+    Per-tile PRNG keys are derived from the tile's WORLD POSITION
+    (``fold_in(fold_in(key(seed), xpos), zpos)``), not its batch slot, so a
+    tile's content is a pure function of (origin, seed) — the same tile
+    re-requested later, or landing in a different batch, reproduces
+    bit-identically (generate_tile's purity contract).
     """
-    t = origins.shape[0]
-    keys = jax.random.split(jax.random.PRNGKey(seed), t)
+    base = jax.random.PRNGKey(seed)
+    oi = jnp.asarray(origins, jnp.int32)
+    keys = jax.vmap(
+        lambda o: jax.random.fold_in(jax.random.fold_in(base, o[0]), o[1])
+    )(oi)
     xs = jnp.asarray(origins[:, 0], jnp.float32)
     zs = jnp.asarray(origins[:, 1], jnp.float32)
 

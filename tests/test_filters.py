@@ -262,7 +262,7 @@ class TestPointwise:
     def test_curve_extrapolation_quirk(self):
         # v == 1 → lerp factor 2 past the last knot, then clamped
         curve = np.array([0.0, 0.1, 0.2, 0.4], np.float32)
-        got = float(np.asarray(F.curve_apply(np.array([[1.0]], np.float32), curve)))
+        got = np.asarray(F.curve_apply(np.array([[1.0]], np.float32), curve)).item()
         # rect=4, lower=2, frac=2 → 0.2 + (0.4-0.2)*2 = 0.6 → clamp → 0.6
         np.testing.assert_allclose(got, 0.6, atol=1e-6)
 

@@ -67,3 +67,33 @@ class TestNativeSerde:
             assert fh.read(8)[:5] != a.tobytes()[:5]
         out = sd.load("buf")
         np.testing.assert_array_equal(out, a)
+
+    def test_numpy_fallback_reads_native_format(self, tmp_path):
+        """A checkpoint written by the C++ pool must restore on a machine
+        WITHOUT the toolchain (ADVICE r1: header-aware NumPy fallback)."""
+        from noize_tpu.core.serde import _numpy_read
+
+        a = RNG.normal(size=(33, 7)).astype(np.float32)
+        p = str(tmp_path / "native.data")
+        native.write_file(p, a)
+        flat = _numpy_read(p, np.float32)
+        np.testing.assert_array_equal(flat, a.ravel())
+        # and a legacy raw dump still reads
+        p2 = str(tmp_path / "raw.data")
+        a.tofile(p2)
+        np.testing.assert_array_equal(_numpy_read(p2, np.float32), a.ravel())
+
+    def test_wait_specific_ticket(self, tmp_path):
+        """Wait(t) must not return before ticket t itself retires, even
+        with out-of-order retirement across the 2 workers (ADVICE r1)."""
+        arrays = [RNG.normal(size=(4096,)).astype(np.float32)
+                  for _ in range(16)]
+        tickets = [
+            native.write_file_async(str(tmp_path / f"w{i}.data"), a)
+            for i, a in enumerate(arrays)
+        ]
+        for i, t in enumerate(tickets):
+            native.wait(t)
+            out = native.read_file(str(tmp_path / f"w{i}.data"), np.float32)
+            np.testing.assert_array_equal(out, arrays[i])
+        native.wait(0)

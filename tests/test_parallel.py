@@ -168,3 +168,42 @@ class TestShardedStencilLifter:
         got = np.asarray(fn(ash))
         want = np.asarray(K2.separable_series(jnp.asarray(a), taps, taps, 1.0))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestTileDeterminism:
+    def test_tile_pure_function_of_origin_and_seed(self):
+        """The same tile re-requested in a DIFFERENT batch (different slot,
+        different companions) reproduces bit-identically — per-tile PRNG
+        keys derive from world position, not batch index (ADVICE r1)."""
+        from noize_tpu.erosion.params import ErosionSettings
+
+        meta = TileSetMeta(tile_res=24, tile_size=24, generator_res=32,
+                           height=100, margin=4)
+        cfg = TL.TilePipelineConfig(
+            meta=meta, noise_type="Perlin", octaves=3, noise_size=100.0,
+            blur_iterations=1, blur_width=5,
+            erosion=ErosionSettings(PARTICLES_PER_CYCLE=16, MAXAGE=4,
+                                    WATER_STEPS=2, CYCLES=1,
+                                    PILING_RADIUS=4),
+            erosion_cycles=1,
+        )
+        origins = TL.grid_origins(meta, 2, 2)
+        a = np.asarray(TL.tile_batch(cfg, origins, seed=7))
+        # tile 3 moved to slot 0, batch now holds different companions
+        reordered = np.concatenate([origins[3:4], origins[1:3]])
+        b = np.asarray(TL.tile_batch(cfg, reordered, seed=7))
+        np.testing.assert_array_equal(a[3], b[0])
+        # different seed still changes the content
+        c = np.asarray(TL.tile_batch(cfg, reordered, seed=8))
+        assert not np.array_equal(b[0], c[0])
+
+    def test_negative_origins(self):
+        meta = TileSetMeta(tile_res=16, tile_size=16, generator_res=16,
+                           height=100, margin=0)
+        cfg = TL.TilePipelineConfig(
+            meta=meta, noise_type="Perlin", octaves=2, noise_size=50.0,
+            blur_iterations=1,
+        )
+        neg = np.asarray([[-32, -16], [16, -48]], np.int32)
+        out = np.asarray(TL.tile_batch(cfg, neg, seed=3))
+        assert np.isfinite(out).all()
