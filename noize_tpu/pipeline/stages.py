@@ -210,6 +210,14 @@ class CurveStage(Stage):
             samples=samples,
         )
 
+    @classmethod
+    def from_keyframes(cls, keys, samples: int = 256):
+        """Discretize real Unity AnimationCurve keyframes with the exact
+        Hermite/Bezier evaluator (CurveStage.cs ExtractCurve parity)."""
+        from ..utils.anim_curve import sample_lut
+
+        return cls(curve=sample_lut(keys, samples), samples=samples)
+
     def array_fn(self, data, io=None):
         return _filters.curve_apply(data, jnp.asarray(self.curve, jnp.float32))
 
