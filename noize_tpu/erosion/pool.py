@@ -97,64 +97,13 @@ def _spread_phase(height, pool, mask, drain_particles: bool, border=None):
     # gather neighbor land/water (phase-start snapshot)
     n_height = [shift_clamped(height, dr, dc) for (dr, dc) in _DIRS]
     n_water = [shift_clamped(pool, dr, dc) for (dr, dc) in _DIRS]
-    n_current = [h + w for h, w in zip(n_height, n_water)]
-
-    # Ascending sort of the 4 neighbors per cell by (current, direction).
-    # A 5-comparator sorting network on elementwise (cur, h, w, dir) tuples
-    # — no argsort / take_along_axis gathers, which lower terribly on TPU
-    # (measured 6+ms per phase at 256² with the gather formulation).
-    dirs_f = [jnp.full_like(pool, float(d)) for d in range(4)]
-    items = [
-        (n_current[d], n_height[d], n_water[d], dirs_f[d]) for d in range(4)
-    ]
-
-    def cswap(a, b):
-        swap = (a[0] > b[0]) | ((a[0] == b[0]) & (a[3] > b[3]))
-        lo = tuple(jnp.where(swap, y, x) for x, y in zip(a, b))
-        hi = tuple(jnp.where(swap, x, y) for x, y in zip(a, b))
-        return lo, hi
-
-    items[0], items[1] = cswap(items[0], items[1])
-    items[2], items[3] = cswap(items[2], items[3])
-    items[0], items[2] = cswap(items[0], items[2])
-    items[1], items[3] = cswap(items[1], items[3])
-    items[1], items[2] = cswap(items[1], items[2])
-
-    h_land = height
-    h_water = jnp.where(active, pool, 0.0)
-    t_height = h_land + h_water
-
-    deltas = [jnp.zeros_like(pool) for _ in range(4)]  # per-direction outflow
-    drain_out = [jnp.zeros_like(pool) for _ in range(4)]
-
-    for e in range(4):
-        bcur, bh, bw, sel = items[e]
-        diff_v = t_height - bcur
-        can = active & (h_water >= 1e-3)
-        is_drain = can & (bw <= 0.0) & (h_land >= bh)
-        give = can & ~is_drain & (diff_v > 0.0) & (h_water > 0.0)
-        take = can & ~is_drain & (diff_v < 0.0) & (bw > 0.0)
-
-        fill_give = jnp.minimum(0.25 * h_water, 0.25 * diff_v)
-        fill_take = jnp.minimum(0.25 * bw, -0.25 * diff_v)
-
-        moved = (
-            jnp.where(is_drain, h_water, 0.0)
-            + jnp.where(give, fill_give, 0.0)
-            - jnp.where(take, fill_take, 0.0)
-        )
-        h_water = h_water - moved
-        t_height = h_land + h_water
-
-        for d in range(4):
-            hit = sel == float(d)
-            if drain_particles:
-                deltas[d] = deltas[d] + jnp.where(
-                    hit & ~is_drain, moved, 0.0
-                )
-                drain_out[d] = drain_out[d] + jnp.where(hit & is_drain, moved, 0.0)
-            else:
-                deltas[d] = deltas[d] + jnp.where(hit, moved, 0.0)
+    # Ascending sort of the 4 neighbors per cell by (current, direction) via
+    # a 5-comparator sorting network — no argsort / take_along_axis gathers,
+    # which lower terribly on TPU (measured 6+ms per phase at 256² with the
+    # gather formulation).  See _phase_core.
+    h_water, deltas, drain_out = _phase_core(
+        n_height, n_water, height, pool, active, drain_particles
+    )
 
     new_pool = jnp.where(active, h_water, pool)
     # Scatter the per-direction outflows onto the targets.  A giver g's
@@ -226,6 +175,64 @@ def _spread_phase_halfrow(height, pool, xoff: int, zoff: int,
     return new_pool, drain_map
 
 
+def _phase_core(n_height, n_water, h_land, pool_snapshot, active,
+                drain_particles: bool):
+    """The per-cell phase body shared by the pair/quad/full-grid layouts:
+    5-comparator sorting network over the 4 neighbor tuples, then the 4
+    sequential sorted sub-steps (SpreadPool's per-cell serial order,
+    LiveErosionDataTypes.cs:938-1010).  Pure elementwise — layout-agnostic.
+
+    Returns (h_water_final, deltas[4], drain_out[4]) where deltas/drain_out
+    are giver-indexed per-direction transfer volumes."""
+    items = [
+        (n_height[d] + n_water[d], n_height[d], n_water[d],
+         jnp.full_like(pool_snapshot, float(d)))
+        for d in range(4)
+    ]
+
+    def cswap(a, b):
+        swap = (a[0] > b[0]) | ((a[0] == b[0]) & (a[3] > b[3]))
+        lo = tuple(jnp.where(swap, y, x) for x, y in zip(a, b))
+        hi = tuple(jnp.where(swap, x, y) for x, y in zip(a, b))
+        return lo, hi
+
+    items[0], items[1] = cswap(items[0], items[1])
+    items[2], items[3] = cswap(items[2], items[3])
+    items[0], items[2] = cswap(items[0], items[2])
+    items[1], items[3] = cswap(items[1], items[3])
+    items[1], items[2] = cswap(items[1], items[2])
+
+    h_water = jnp.where(active, pool_snapshot, 0.0)
+    t_height = h_land + h_water
+    deltas = [jnp.zeros_like(pool_snapshot) for _ in range(4)]
+    drain_out = [jnp.zeros_like(pool_snapshot) for _ in range(4)]
+
+    for e in range(4):
+        bcur, bh, bw, sel = items[e]
+        diff_v = t_height - bcur
+        can = active & (h_water >= 1e-3)
+        is_drain = can & (bw <= 0.0) & (h_land >= bh)
+        give = can & ~is_drain & (diff_v > 0.0) & (h_water > 0.0)
+        take = can & ~is_drain & (diff_v < 0.0) & (bw > 0.0)
+        fill_give = jnp.minimum(0.25 * h_water, 0.25 * diff_v)
+        fill_take = jnp.minimum(0.25 * bw, -0.25 * diff_v)
+        moved = (
+            jnp.where(is_drain, h_water, 0.0)
+            + jnp.where(give, fill_give, 0.0)
+            - jnp.where(take, fill_take, 0.0)
+        )
+        h_water = h_water - moved
+        t_height = h_land + h_water
+        for d in range(4):
+            hit = sel == float(d)
+            if drain_particles:
+                deltas[d] = deltas[d] + jnp.where(hit & ~is_drain, moved, 0.0)
+                drain_out[d] = drain_out[d] + jnp.where(hit & is_drain, moved, 0.0)
+            else:
+                deltas[d] = deltas[d] + jnp.where(hit, moved, 0.0)
+    return h_water, deltas, drain_out
+
+
 def _phase_pair(a_h, c_h, a_p, c_p, xoff: int, zoff: int,
                 drain_particles: bool, res: int, row0: int = 0):
     """One phase on the (active, complement) row-lattice pair.
@@ -269,53 +276,9 @@ def _phase_pair(a_h, c_h, a_p, c_p, xoff: int, zoff: int,
     n_height = [up_h, shift_clamped(a_h, 0, 1), down_h, shift_clamped(a_h, 0, -1)]
     n_water = [up_p, shift_clamped(a_p, 0, 1), down_p, shift_clamped(a_p, 0, -1)]
 
-    items = [
-        (n_height[d] + n_water[d], n_height[d], n_water[d],
-         jnp.full_like(a_p, float(d)))
-        for d in range(4)
-    ]
-
-    def cswap(a, b):
-        swap = (a[0] > b[0]) | ((a[0] == b[0]) & (a[3] > b[3]))
-        lo = tuple(jnp.where(swap, y, x) for x, y in zip(a, b))
-        hi = tuple(jnp.where(swap, x, y) for x, y in zip(a, b))
-        return lo, hi
-
-    items[0], items[1] = cswap(items[0], items[1])
-    items[2], items[3] = cswap(items[2], items[3])
-    items[0], items[2] = cswap(items[0], items[2])
-    items[1], items[3] = cswap(items[1], items[3])
-    items[1], items[2] = cswap(items[1], items[2])
-
-    h_land = a_h
-    h_water = jnp.where(active, a_p, 0.0)
-    t_height = h_land + h_water
-    deltas = [jnp.zeros_like(a_p) for _ in range(4)]
-    drain_out = [jnp.zeros_like(a_p) for _ in range(4)]
-
-    for e in range(4):
-        bcur, bh, bw, sel = items[e]
-        diff_v = t_height - bcur
-        can = active & (h_water >= 1e-3)
-        is_drain = can & (bw <= 0.0) & (h_land >= bh)
-        give = can & ~is_drain & (diff_v > 0.0) & (h_water > 0.0)
-        take = can & ~is_drain & (diff_v < 0.0) & (bw > 0.0)
-        fill_give = jnp.minimum(0.25 * h_water, 0.25 * diff_v)
-        fill_take = jnp.minimum(0.25 * bw, -0.25 * diff_v)
-        moved = (
-            jnp.where(is_drain, h_water, 0.0)
-            + jnp.where(give, fill_give, 0.0)
-            - jnp.where(take, fill_take, 0.0)
-        )
-        h_water = h_water - moved
-        t_height = h_land + h_water
-        for d in range(4):
-            hit = sel == float(d)
-            if drain_particles:
-                deltas[d] = deltas[d] + jnp.where(hit & ~is_drain, moved, 0.0)
-                drain_out[d] = drain_out[d] + jnp.where(hit & is_drain, moved, 0.0)
-            else:
-                deltas[d] = deltas[d] + jnp.where(hit, moved, 0.0)
+    h_water, deltas, drain_out = _phase_core(
+        n_height, n_water, a_h, a_p, active, drain_particles
+    )
 
     # global-border self-return bands on the lattice
     border_up = ((zoff == 1) & (j == r2 - 1))
@@ -349,6 +312,249 @@ def _phase_pair(a_h, c_h, a_p, c_p, xoff: int, zoff: int,
         da = jnp.zeros_like(a_p)
         dc = jnp.zeros_like(c_p)
     return new_a, new_c, da, dc
+
+
+# --- quadrant (diagonal) lattice layout -------------------------------------
+#
+# A phase's active cells satisfy (c − j) mod 2 == xoff on its half-row
+# lattice (cols x ≡ xoff + j (mod 2) ⟺ (x − j) ≡ xoff (mod 2)) — a
+# *diagonal* sub-lattice selected purely by xoff.  Packing each half-row
+# lattice into its two diagonal quadrants makes every phase dense: the
+# sorting network and sub-steps run on res²/4 cells instead of res²/2.
+# Neighbor geometry in quadrant space (derived from c = 2k + ((j+p) mod 2)):
+#   up/down  → complement-ROW-lattice quads, pure row shifts (k unchanged)
+#   left/right → the sibling (other-diagonal) quad of the SAME lattice,
+#                direct or column-shifted depending on row parity u=(j+p)%2
+# All dense reshapes/shifts — no gathers, no stride-2 lane writes.
+
+
+def _quad_views(a, p: int):
+    """Diagonal quadrant p of a half-row lattice: Q[j, k] = a[j, 2k+((j+p)%2)].
+    Dense reshape-slice-stack (size-2 minor axes only)."""
+    r2, r = a.shape
+    x = a.reshape(r2 // 2, 2, r // 2, 2)
+    even_rows = x[:, 0, :, p]        # rows 2J: col offset p
+    odd_rows = x[:, 1, :, 1 - p]     # rows 2J+1: col offset 1-p
+    return jnp.stack([even_rows, odd_rows], axis=1).reshape(r2, r // 2)
+
+
+def _quad_join(d0, d1):
+    """Inverse of (_quad_views(a,0), _quad_views(a,1))."""
+    r2, q = d0.shape
+    d0r = d0.reshape(r2 // 2, 2, q)
+    d1r = d1.reshape(r2 // 2, 2, q)
+    even = jnp.stack([d0r[:, 0], d1r[:, 0]], axis=-1)   # rows 2J: b=0→D0, b=1→D1
+    odd = jnp.stack([d1r[:, 1], d0r[:, 1]], axis=-1)    # rows 2J+1: b=0→D1, b=1→D0
+    return jnp.stack([even, odd], axis=1).reshape(r2, 2 * q)
+
+
+def _rshift_col(x):
+    """out[:, k] = x[:, k-1] (col 0 clamped; used only where masked off)."""
+    return jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+
+
+def _lshift_col(x):
+    """out[:, k] = x[:, k+1] (last col clamped)."""
+    return jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+
+
+def _phase_quad(h_act, h_side, h_c_p, h_c_q,
+                p_act, p_side, p_c_p, p_c_q,
+                xoff: int, zoff: int, drain_particles: bool, res: int,
+                row0: int = 0):
+    """One phase in quadrant space.
+
+    ``*_act``: the active quad (lattice zoff, diagonal parity p=xoff);
+    ``*_side``: the sibling quad (same lattice, parity p^1) — left/right
+    neighbor source and target; ``*_c_p`` / ``*_c_q``: complement-lattice
+    quads with parity p / p^1 — up/down sources and targets.  All arrays
+    share the row range [row0, row0 + nrows) in lattice-row coordinates
+    (row0 < 0 rows are window ghosts, masked inactive).
+
+    Returns (new_p_act, new_p_side, new_p_c_p, new_p_c_q,
+             d_act, d_side, d_c_p, d_c_q) — the last four are THIS phase's
+    drain contributions (zero-based), added by the caller."""
+    r2 = res // 2
+    q = res // 2
+
+    j = jax.lax.broadcasted_iota(jnp.int32, p_act.shape, 0) + row0
+    k = jax.lax.broadcasted_iota(jnp.int32, p_act.shape, 1)
+    u = (j + xoff) % 2          # global col c = 2k + u
+    u0 = u == 0
+    u1 = u == 1
+    inb = (j >= 0) & (j < r2)
+    active = inb & (p_act > 0.0)
+
+    def shift_down_row(x):   # out[j] = x[j-1]; row 0 clamped (masked off)
+        return jnp.concatenate([x[:1], x[:-1]], 0)
+
+    def shift_up_row(x):     # out[j] = x[j+1]; last row clamped
+        return jnp.concatenate([x[1:], x[-1:]], 0)
+
+    # --- neighbor assembly (phase-start snapshots) ---------------------------
+    # d=0 up (z+1), d=1 right (x+1), d=2 down (z-1), d=3 left (x-1)
+    if zoff == 0:
+        n0_h, n0_w = h_c_p, p_c_p                      # C[j], parity p
+        b0 = None                                       # z+1 ≤ res-1 always
+        n2_h = shift_down_row(h_c_q)                    # C[j-1], parity p^1
+        n2_w = shift_down_row(p_c_q)
+        b2 = j == 0                                     # z-1 < 0 → self-alias
+    else:
+        n0_h = shift_up_row(h_c_q)                      # C[j+1], parity p^1
+        n0_w = shift_up_row(p_c_q)
+        b0 = j == r2 - 1                                # z+1 > res-1
+        n2_h, n2_w = h_c_p, p_c_p                       # C[j], parity p
+        b2 = None                                       # z-1 ≥ 1 always
+
+    n1_h = jnp.where(u0, h_side, _lshift_col(h_side))   # right: k or k+1
+    n1_w = jnp.where(u0, p_side, _lshift_col(p_side))
+    b1 = u1 & (k == q - 1)                              # c+1 = res
+    n3_h = jnp.where(u1, h_side, _rshift_col(h_side))   # left: k or k-1
+    n3_w = jnp.where(u1, p_side, _rshift_col(p_side))
+    b3 = u0 & (k == 0)                                  # c-1 < 0
+
+    def alias(nh, nw, border):
+        if border is None:
+            return nh, nw
+        return jnp.where(border, h_act, nh), jnp.where(border, p_act, nw)
+
+    n0_h, n0_w = alias(n0_h, n0_w, b0)
+    n1_h, n1_w = alias(n1_h, n1_w, b1)
+    n2_h, n2_w = alias(n2_h, n2_w, b2)
+    n3_h, n3_w = alias(n3_h, n3_w, b3)
+
+    h_water, deltas, drain_out = _phase_core(
+        [n0_h, n1_h, n2_h, n3_h], [n0_w, n1_w, n2_w, n3_w],
+        h_act, p_act, active, drain_particles,
+    )
+
+    # --- scatter (per-cell add order mirrors _phase_pair's) -----------------
+    def scatter(base_act, base_side, base_cp, base_cq, dl):
+        acc_act, acc_side, acc_cp, acc_cq = base_act, base_side, base_cp, base_cq
+        # right (d=1): u0 rows → same k; u1 rows → k+1 (self-return at c=res-1)
+        acc_side = acc_side + (
+            jnp.where(u0, dl[1], 0.0)
+            + _shift_zero(jnp.where(u1 & ~b1, dl[1], 0.0), 0, -1)
+        )
+        acc_act = acc_act + jnp.where(b1, dl[1], 0.0)
+        # left (d=3): u1 rows → same k; u0 rows → k-1 (self-return at c=0)
+        acc_side = acc_side + (
+            jnp.where(u1, dl[3], 0.0)
+            + _shift_zero(jnp.where(u0 & ~b3, dl[3], 0.0), 0, 1)
+        )
+        acc_act = acc_act + jnp.where(b3, dl[3], 0.0)
+        if zoff == 0:
+            acc_cp = acc_cp + dl[0]                               # up → C_p[j]
+            acc_cq = acc_cq + _shift_zero(jnp.where(~b2, dl[2], 0.0), 1, 0)
+            acc_act = acc_act + jnp.where(b2, dl[2], 0.0)         # j=0 self
+        else:
+            acc_cq = acc_cq + _shift_zero(jnp.where(~b0, dl[0], 0.0), -1, 0)
+            acc_act = acc_act + jnp.where(b0, dl[0], 0.0)         # j=r2-1 self
+            acc_cp = acc_cp + dl[2]                               # down → C_p[j]
+        return acc_act, acc_side, acc_cp, acc_cq
+
+    new_act = jnp.where(active, h_water, p_act)
+    new_act, new_side, new_cp, new_cq = scatter(
+        new_act, p_side, p_c_p, p_c_q, deltas
+    )
+    if drain_particles:
+        z = jnp.zeros_like(p_act)
+        d_act, d_side, d_cp, d_cq = scatter(z, z, z, z, drain_out)
+    else:
+        z = jnp.zeros_like(p_act)
+        d_act = d_side = d_cp = d_cq = z
+    return new_act, new_side, new_cp, new_cq, d_act, d_side, d_cp, d_cq
+
+
+# phase order (xoff, zoff) nesting parity with MultiThreadErosionJob.cs:314-324
+_PHASE_ORDER = tuple((xo, zo) for xo in (0, 1) for zo in (0, 1))
+
+
+def _quad_phase_step(h_quads, p_quads, xoff: int, zoff: int,
+                     drain_particles: bool, res: int, row0: int = 0):
+    """Apply one phase to the quad dict {(lat, parity): array} where lat is
+    0 (even global rows) or 1 (odd).  Returns (new_p_quads, drain_quads)."""
+    A, C = (0, 1) if zoff == 0 else (1, 0)
+    p = xoff
+    args = (
+        h_quads[(A, p)], h_quads[(A, 1 - p)],
+        h_quads[(C, p)], h_quads[(C, 1 - p)],
+        p_quads[(A, p)], p_quads[(A, 1 - p)],
+        p_quads[(C, p)], p_quads[(C, 1 - p)],
+    )
+    na, ns, ncp, ncq, da, ds, dcp, dcq = _phase_quad(
+        *args, xoff, zoff, drain_particles, res, row0=row0
+    )
+    new_p = {(A, p): na, (A, 1 - p): ns, (C, p): ncp, (C, 1 - p): ncq}
+    drains = {(A, p): da, (A, 1 - p): ds, (C, p): dcp, (C, 1 - p): dcq}
+    return new_p, drains
+
+
+def _pack_quads(full):
+    """(R, R) map → quad dict {(lat, parity): (R/2, R/2)}."""
+    e, o = _halfrow_views(full, 0)
+    return {
+        (0, 0): _quad_views(e, 0), (0, 1): _quad_views(e, 1),
+        (1, 0): _quad_views(o, 0), (1, 1): _quad_views(o, 1),
+    }
+
+
+def _unpack_quads(quads):
+    e = _quad_join(quads[(0, 0)], quads[(0, 1)])
+    o = _quad_join(quads[(1, 0)], quads[(1, 1)])
+    return _halfrow_join(e, o, 0)
+
+
+_QKEYS = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+@partial(jax.jit, static_argnames=("iterations", "drain_particles"))
+def pool_automata_quad(height, pool, iterations: int = 10,
+                       drain_particles: bool = True):
+    """pool_automata on the diagonal-quadrant layout (XLA path; the pallas
+    kernel in pool_pallas shares _phase_quad).  Bit-exact with
+    pool_automata — same _phase_core ops, same per-cell add order."""
+    res = height.shape[0]
+    h_quads = _pack_quads(height)
+    p_quads = _pack_quads(pool)
+    d_quads = {kk: jnp.zeros_like(v) for kk, v in p_quads.items()}
+
+    def make_branch(xo, zo):
+        def br(c):
+            p_quads = dict(zip(_QKEYS, c[:4]))
+            d_quads = dict(zip(_QKEYS, c[4:]))
+            new_p, dr = _quad_phase_step(
+                h_quads, p_quads, xo, zo, drain_particles, res
+            )
+            new_d = {kk: d_quads[kk] + dr[kk] for kk in _QKEYS}
+            return tuple(new_p[kk] for kk in _QKEYS) + tuple(
+                new_d[kk] for kk in _QKEYS
+            )
+        return br
+
+    branches = [make_branch(xo, zo) for xo, zo in _PHASE_ORDER]
+
+    def step(carry, t):
+        has_water = jnp.any(
+            jnp.stack([jnp.any(carry[i] > 0.0) for i in range(4)])
+        )
+        out = jax.lax.cond(
+            has_water,
+            lambda c: jax.lax.switch(t % 4, branches, c),
+            lambda c: c,
+            carry,
+        )
+        return out, None
+
+    init = tuple(p_quads[kk] for kk in _QKEYS) + tuple(
+        d_quads[kk] for kk in _QKEYS
+    )
+    out, _ = jax.lax.scan(
+        step, init, jnp.arange(4 * iterations, dtype=jnp.int32)
+    )
+    pool_out = _unpack_quads(dict(zip(_QKEYS, out[:4])))
+    drain_out = _unpack_quads(dict(zip(_QKEYS, out[4:])))
+    return pool_out, drain_out
 
 
 @partial(jax.jit, static_argnames=("iterations", "drain_particles"))

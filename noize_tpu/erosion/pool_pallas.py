@@ -225,6 +225,160 @@ def pool_automata_pallas_pair(height, pool, iterations: int = 10,
     )
 
 
+def _fused_quad_call(h_pads, p_pads, d_pads, phases, drain_particles: bool,
+                     res: int, block: int, halo: int):
+    """One launch: run ``phases`` (a static tuple of (xoff, zoff)) over the
+    four pool quads with the whole phase chain VMEM-resident per row block.
+
+    Inputs are quad arrays (res/2, res/2) pre-padded by ``halo`` rows (edge
+    mode).  Validity shrinks 2 rows per phase per side, so ``halo`` must be
+    ≥ 2·len(phases); the core block written out is exact.  Per launch the
+    12 windows are DMA'd ONCE — vs once per phase in the pair kernel — and
+    all inter-phase traffic stays in VMEM."""
+    r2 = res // 2
+    q = res // 2
+    nblk = r2 // block
+    w = block + 2 * halo
+
+    def kernel(*refs):
+        h_refs = refs[:4]
+        p_refs = refs[4:8]
+        d_refs = refs[8:12]
+        outs = refs[12:20]
+        scratch = refs[20:32]
+        sem = refs[32]
+        i = pl.program_id(0)
+
+        for src, dst in zip(h_refs + p_refs + d_refs, scratch):
+            cp = pltpu.make_async_copy(
+                src.at[pl.ds(i * block, w), :], dst, sem
+            )
+            cp.start()
+            cp.wait()
+
+        row0 = i * block - halo
+        h_quads = {kk: scratch[n][:] for n, kk in enumerate(_pool._QKEYS)}
+
+        # One phase per loop step via lax.switch — an unrolled multi-phase
+        # body explodes compile/execute cost super-linearly (same pathology
+        # as the XLA path; see pool.pool_automata's branch structure)
+        def make_branch(xo, zo):
+            def br(c):
+                p_quads = dict(zip(_pool._QKEYS, c[:4]))
+                d_quads = dict(zip(_pool._QKEYS, c[4:]))
+                new_p, dr = _pool._quad_phase_step(
+                    h_quads, p_quads, xo, zo, drain_particles, res,
+                    row0=row0,
+                )
+                return tuple(new_p[kk] for kk in _pool._QKEYS) + tuple(
+                    d_quads[kk] + dr[kk] for kk in _pool._QKEYS
+                )
+            return br
+
+        branches = [make_branch(xo, zo) for xo, zo in _pool._PHASE_ORDER]
+
+        def body(t, carry):
+            return jax.lax.switch(t % 4, branches, carry)
+
+        # drains carry the ACCUMULATED map so the per-phase running sum
+        # keeps the pair path's exact f32 add order across launches
+        init = tuple(scratch[4 + n][:] for n in range(8))
+        final = jax.lax.fori_loop(0, len(phases), body, init)
+
+        sl = slice(halo, halo + block)
+        for n in range(8):
+            outs[n][:] = final[n][sl, :]
+
+    out_spec = pl.BlockSpec((block, q), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 12,
+        out_specs=(out_spec,) * 8,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((r2, q), _F32) for _ in range(8)
+        ),
+        scratch_shapes=[pltpu.VMEM((w, q), _F32) for _ in range(12)]
+        + [pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*h_pads, *p_pads, *d_pads)
+    return outs[:4], outs[4:]
+
+
+def _padH(a, h: int):
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(a[:1, :], (h,) + a.shape[1:]),
+            a,
+            jnp.broadcast_to(a[-1:, :], (h,) + a.shape[1:]),
+        ],
+        axis=0,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "drain_particles", "block",
+                     "phases_per_launch"),
+)
+def pool_automata_pallas_quad(height, pool, iterations: int = 10,
+                              drain_particles: bool = True,
+                              block: int = None,
+                              phases_per_launch: int = 4):
+    """Diagonal-quadrant pool automata with multi-phase-fused pallas
+    launches: each launch runs ``phases_per_launch`` phases (multiples of 4
+    = whole water steps) entirely in VMEM per row block.
+
+    vs pool_automata_pallas_pair this (a) halves the elementwise work — the
+    sorting network and sub-steps run only on each phase's active diagonal
+    lattice (res²/4 cells) — and (b) pays the halo DMA once per launch
+    instead of once per phase.  Bit-exact with pool_automata (shared
+    _phase_core / _quad_phase_step; tested)."""
+    res = height.shape[0]
+    ppl = phases_per_launch
+    assert ppl % 4 == 0 and (4 * iterations) % ppl == 0, (ppl, iterations)
+    halo = 2 * ppl
+    r2 = res // 2
+    if block is None:
+        block = next(
+            b for b in (256, 128, 64, 32, 16, 8) if r2 % b == 0 and b >= halo
+        )
+    phases = tuple(_pool._PHASE_ORDER) * (ppl // 4)
+
+    h_quads = _pool._pack_quads(height)
+    h_pads = tuple(_padH(h_quads[kk], halo) for kk in _pool._QKEYS)
+    p_quads = _pool._pack_quads(pool)
+    p0 = tuple(p_quads[kk] for kk in _pool._QKEYS)
+    d0 = tuple(jnp.zeros_like(x) for x in p0)
+
+    def step(carry, _):
+        pq, dq = carry
+
+        def wet(c):
+            pq, dq = c
+            p_pads = tuple(_padH(x, halo) for x in pq)
+            d_pads = tuple(_padH(x, halo) for x in dq)
+            new_p, new_d = _fused_quad_call(
+                h_pads, p_pads, d_pads, phases, drain_particles, res,
+                block, halo,
+            )
+            return tuple(new_p), tuple(new_d)
+
+        has_water = jnp.any(jnp.stack([jnp.any(x > 0.0) for x in pq]))
+        return jax.lax.cond(has_water, wet, lambda c: c, (pq, dq)), None
+
+    (pq, dq), _ = jax.lax.scan(
+        step, (p0, d0), None, length=(4 * iterations) // ppl
+    )
+    return (
+        _pool._unpack_quads(dict(zip(_pool._QKEYS, pq))),
+        _pool._unpack_quads(dict(zip(_pool._QKEYS, dq))),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("iterations", "drain_particles", "block")
 )

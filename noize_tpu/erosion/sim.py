@@ -169,14 +169,16 @@ def erosion_cycle(state: SimState, settings: ErosionSettings, meta: TileSetMeta)
     # 6. track → flow decay + surface evaporation (UpdateFlowFromTrackJob)
     world = update_flow_from_track(world, params, height_scale)
 
-    # 7. pool automata (PoolAutomataJob) — pallas VMEM-resident phases on
-    # TPU at production sizes, XLA half-row path elsewhere
+    # 7. pool automata (PoolAutomataJob) — multi-phase-fused diagonal-
+    # quadrant pallas kernel on TPU at production sizes (each launch runs a
+    # whole water step VMEM-resident on the active res²/4 lattice; bit-exact
+    # with the XLA path), XLA half-row path elsewhere
     import jax as _jax
 
     if _jax.default_backend() == "tpu" and res % 256 == 0:
-        from .pool_pallas import pool_automata_pallas_pair
+        from .pool_pallas import pool_automata_pallas_quad
 
-        pool, drains = pool_automata_pallas_pair(
+        pool, drains = pool_automata_pallas_quad(
             world.height,
             world.pool,
             iterations=settings.WATER_STEPS,

@@ -246,6 +246,32 @@ class TestPoolAutomata:
         assert (out > 1e-4).sum() > 4  # over multiple cells
         np.testing.assert_allclose(out.sum(), 0.5, rtol=1e-4)
 
+    def test_quad_layout_roundtrip(self):
+        a = jnp.asarray(RNG.uniform(0, 1, (16, 16)).astype(np.float32))
+        e, o = PO._halfrow_views(a, 0)
+        for lat in (e, o):
+            got = PO._quad_join(PO._quad_views(lat, 0), PO._quad_views(lat, 1))
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(lat))
+        got = PO._unpack_quads(PO._pack_quads(a))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(a))
+
+    def test_quad_matches_pair_exactly(self):
+        """The diagonal-quadrant formulation is bit-exact with the half-row
+        pair path (shared _phase_core; per-cell add order preserved)."""
+        for res in (8, 16, 32):
+            for dp in (True, False):
+                height = RNG.uniform(0, 1, (res, res)).astype(np.float32)
+                pool = (RNG.uniform(-0.3, 0.05, (res, res))).clip(0).astype(
+                    np.float32)
+                p1, d1 = PO.pool_automata(
+                    jnp.asarray(height), jnp.asarray(pool),
+                    iterations=3, drain_particles=dp)
+                p2, d2 = PO.pool_automata_quad(
+                    jnp.asarray(height), jnp.asarray(pool),
+                    iterations=3, drain_particles=dp)
+                np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+                np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
     def test_flat_floor_drains_teleport(self):
         """On a dead-flat floor the dry-neighbor drain rule moves the whole
         pool instead of spreading it — reference SpreadPool semantics

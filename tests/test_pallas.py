@@ -73,6 +73,46 @@ class TestPoolPallas:
             np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-7)
             np.testing.assert_allclose(np.asarray(gd), np.asarray(wd), atol=1e-7)
 
+    def test_fused_quad_kernel_matches_xla_path(self):
+        """The multi-phase-fused diagonal-quadrant kernel must be BIT-exact
+        with the XLA pair path — pools and drain maps — across launch
+        boundaries (drain accumulators ride through the kernel to keep the
+        f32 add order)."""
+        from jax.experimental.pallas import tpu as pltpu
+        from noize_tpu.erosion import pool as PO
+        from noize_tpu.erosion import pool_pallas as PP
+
+        res = 32
+        rng = np.random.default_rng(21)
+        h = jnp.asarray(rng.uniform(0, 0.5, (res, res)).astype(np.float32))
+        p = jnp.asarray(
+            (rng.uniform(-0.05, 0.05, (res, res))).clip(0).astype(np.float32))
+        wp, wd = PO.pool_automata(h, p, iterations=2, drain_particles=True)
+        with pltpu.force_tpu_interpret_mode():
+            gp, gd = PP.pool_automata_pallas_quad(
+                h, p, iterations=2, drain_particles=True, block=8,
+                phases_per_launch=4)
+        np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
+        np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
+
+    def test_fused_quad_kernel_two_steps_per_launch(self):
+        """phases_per_launch=8 (two whole water steps fused per launch)."""
+        from jax.experimental.pallas import tpu as pltpu
+        from noize_tpu.erosion import pool as PO
+        from noize_tpu.erosion import pool_pallas as PP
+
+        res = 32
+        rng = np.random.default_rng(22)
+        h = jnp.asarray(rng.uniform(0, 0.5, (res, res)).astype(np.float32))
+        p = jnp.asarray(rng.uniform(0, 0.05, (res, res)).astype(np.float32))
+        wp, wd = PO.pool_automata(h, p, iterations=2, drain_particles=True)
+        with pltpu.force_tpu_interpret_mode():
+            gp, gd = PP.pool_automata_pallas_quad(
+                h, p, iterations=2, drain_particles=True, block=16,
+                phases_per_launch=8)
+        np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
+        np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
+
     def test_pair_kernel_sparse_water(self):
         """Sparse water (the production shape — pools sit in basins):
         results must match the XLA path exactly."""
