@@ -100,7 +100,8 @@ _NB_DR = np.array([o[0] for o in NEIGHBOR_OFFSETS], np.int32)
 _NB_DC = np.array([o[1] for o in NEIGHBOR_OFFSETS], np.int32)
 
 
-def _gather_step_values(combo, row_i, col_i, res, with_plants=False):
+def _gather_step_values(combo, row_i, col_i, res, with_plants=False,
+                        origin=None, shape=None):
     """ALL of a step's map lookups in ONE gather: 8 all-heights neighbors +
     the particle's WIH + flow (+ plant density when the vegetation friction
     extension is on).  A TPU gather op costs ~0.13 ms *fixed* regardless of
@@ -108,16 +109,29 @@ def _gather_step_values(combo, row_i, col_i, res, with_plants=False):
 
     ``combo`` = concat([wih.ravel(), all_h.ravel(), flow.ravel()[,
     plants.ravel()]]).
+
+    ``origin``/``shape``: when the maps in ``combo`` are a LOCAL window of
+    the global grid (the sharded descent's halo-extended shard block),
+    ``origin`` is the window's global (row, col) of entry (0, 0) and
+    ``shape`` its (rows, cols); coordinates stay global (incl. the global
+    edge clamp), only the flat indexing changes.  Callers guarantee every
+    live particle's clipped neighborhood lies inside the window.
     Returns (nb[N,8] quantized, current_h[N], flow_here[N], plants_here)."""
     n = row_i.shape[0]
-    sz = res * res
-    r = jnp.clip(row_i[:, None] + jnp.asarray(_NB_DR)[None, :], 0, res - 1)
-    c = jnp.clip(col_i[:, None] + jnp.asarray(_NB_DC)[None, :], 0, res - 1)
-    center = row_i * res + col_i
+    if shape is None:
+        o_r = o_c = 0
+        rows_w, cols_w = res, res
+    else:
+        o_r, o_c = origin
+        rows_w, cols_w = shape
+    sz = rows_w * cols_w
+    r = jnp.clip(row_i[:, None] + jnp.asarray(_NB_DR)[None, :], 0, res - 1) - o_r
+    c = jnp.clip(col_i[:, None] + jnp.asarray(_NB_DC)[None, :], 0, res - 1) - o_c
+    center = (row_i - o_r) * cols_w + (col_i - o_c)
     parts = [
-        (r * res + c).reshape(-1) + sz,   # all_h neighbors
-        center,                            # wih at the particle
-        center + 2 * sz,                   # flow at the particle
+        (r * cols_w + c).reshape(-1) + sz,   # all_h neighbors
+        center,                              # wih at the particle
+        center + 2 * sz,                     # flow at the particle
     ]
     if with_plants:
         parts.append(center + 3 * sz)
@@ -211,7 +225,8 @@ def _downhill_velocity_gain(v_diff, eff_friction, gravity, patch_res):
 
 
 def descend_step(p: Particles, state: WorldState, params, height_scale,
-                 patch_res, res: int, maps=None, patch_ctx=None):
+                 patch_res, res: int, maps=None, patch_ctx=None,
+                 window_origin=None, window_shape=None):
     """One DescendSimultaneous step for every particle.
 
     Returns (new_particles, events) where events is a dict of per-particle
@@ -263,7 +278,8 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
         plants_here = None
     else:
         nb, current_h, flow_here, plants_here = _gather_step_values(
-            combo, row_i, col_i, res, with_plants=with_plants
+            combo, row_i, col_i, res, with_plants=with_plants,
+            origin=window_origin, shape=window_shape,
         )
 
     # natural drain: argmin (first-wins) over nb, direction via WTORDER

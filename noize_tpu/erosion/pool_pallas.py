@@ -225,20 +225,26 @@ def pool_automata_pallas_pair(height, pool, iterations: int = 10,
     )
 
 
-def _fused_quad_call(h_pads, p_pads, d_pads, phases, drain_particles: bool,
-                     res: int, block: int, halo: int):
-    """One launch: run ``phases`` (a static tuple of (xoff, zoff)) over the
-    four pool quads with the whole phase chain VMEM-resident per row block.
+def _fused_quad_call(h_pads, p_pads, d_pads, phase_seq, drain_particles: bool,
+                     res: int, block: int, halo: int, unroll: bool):
+    """One launch: run ``phase_seq`` (a static tuple of (xoff, zoff)) over
+    the four pool quads with the whole phase chain VMEM-resident per row
+    block.
 
     Inputs are quad arrays (res/2, res/2) pre-padded by ``halo`` rows (edge
     mode).  Validity shrinks 2 rows per phase per side, so ``halo`` must be
-    ≥ 2·len(phases); the core block written out is exact.  Per launch the
-    12 windows are DMA'd ONCE — vs once per phase in the pair kernel — and
-    all inter-phase traffic stays in VMEM."""
+    ≥ 2·len(phase_seq); the core block written out is exact.  Per launch
+    the 12 windows are DMA'd ONCE — vs once per phase in the pair kernel —
+    and all inter-phase traffic stays in VMEM.
+
+    ``unroll``: emit the phases as a static in-kernel sequence (no Mosaic
+    control flow) vs a fori_loop + lax.switch over 4 single-phase branches
+    (smaller kernel body)."""
     r2 = res // 2
     q = res // 2
     nblk = r2 // block
     w = block + 2 * halo
+    phase0 = _pool._PHASE_ORDER.index(phase_seq[0])
 
     def kernel(*refs):
         h_refs = refs[:4]
@@ -259,31 +265,33 @@ def _fused_quad_call(h_pads, p_pads, d_pads, phases, drain_particles: bool,
         row0 = i * block - halo
         h_quads = {kk: scratch[n][:] for n, kk in enumerate(_pool._QKEYS)}
 
-        # One phase per loop step via lax.switch — an unrolled multi-phase
-        # body explodes compile/execute cost super-linearly (same pathology
-        # as the XLA path; see pool.pool_automata's branch structure)
-        def make_branch(xo, zo):
-            def br(c):
-                p_quads = dict(zip(_pool._QKEYS, c[:4]))
-                d_quads = dict(zip(_pool._QKEYS, c[4:]))
-                new_p, dr = _pool._quad_phase_step(
-                    h_quads, p_quads, xo, zo, drain_particles, res,
-                    row0=row0,
-                )
-                return tuple(new_p[kk] for kk in _pool._QKEYS) + tuple(
-                    d_quads[kk] + dr[kk] for kk in _pool._QKEYS
-                )
-            return br
-
-        branches = [make_branch(xo, zo) for xo, zo in _pool._PHASE_ORDER]
-
-        def body(t, carry):
-            return jax.lax.switch(t % 4, branches, carry)
+        def apply_phase(c, xo, zo):
+            p_quads = dict(zip(_pool._QKEYS, c[:4]))
+            d_quads = dict(zip(_pool._QKEYS, c[4:]))
+            new_p, dr = _pool._quad_phase_step(
+                h_quads, p_quads, xo, zo, drain_particles, res, row0=row0,
+            )
+            return tuple(new_p[kk] for kk in _pool._QKEYS) + tuple(
+                d_quads[kk] + dr[kk] for kk in _pool._QKEYS
+            )
 
         # drains carry the ACCUMULATED map so the per-phase running sum
         # keeps the pair path's exact f32 add order across launches
-        init = tuple(scratch[4 + n][:] for n in range(8))
-        final = jax.lax.fori_loop(0, len(phases), body, init)
+        carry = tuple(scratch[4 + n][:] for n in range(8))
+        if unroll:
+            for xo, zo in phase_seq:
+                carry = apply_phase(carry, xo, zo)
+            final = carry
+        else:
+            branches = [
+                (lambda xo, zo: lambda c: apply_phase(c, xo, zo))(xo, zo)
+                for xo, zo in _pool._PHASE_ORDER
+            ]
+
+            def body(t, c):
+                return jax.lax.switch((t + phase0) % 4, branches, c)
+
+            final = jax.lax.fori_loop(0, len(phase_seq), body, carry)
 
         sl = slice(halo, halo + block)
         for n in range(8):
@@ -322,12 +330,13 @@ def _padH(a, h: int):
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "drain_particles", "block",
-                     "phases_per_launch"),
+                     "phases_per_launch", "unroll"),
 )
 def pool_automata_pallas_quad(height, pool, iterations: int = 10,
                               drain_particles: bool = True,
                               block: int = None,
-                              phases_per_launch: int = 4):
+                              phases_per_launch: int = 4,
+                              unroll: bool = None):
     """Diagonal-quadrant pool automata with multi-phase-fused pallas
     launches: each launch runs ``phases_per_launch`` phases (multiples of 4
     = whole water steps) entirely in VMEM per row block.
@@ -339,14 +348,25 @@ def pool_automata_pallas_quad(height, pool, iterations: int = 10,
     _phase_core / _quad_phase_step; tested)."""
     res = height.shape[0]
     ppl = phases_per_launch
-    assert ppl % 4 == 0 and (4 * iterations) % ppl == 0, (ppl, iterations)
-    halo = 2 * ppl
+    assert (4 * iterations) % ppl == 0, (ppl, iterations)
+    # halo ≥ 2·ppl (validity shrink), rounded up to the (8,·) sublane tiling
+    halo = max(-(-2 * ppl // 4) * 4, 4)
     r2 = res // 2
     if block is None:
         block = next(
             b for b in (256, 128, 64, 32, 16, 8) if r2 % b == 0 and b >= halo
         )
-    phases = tuple(_pool._PHASE_ORDER) * (ppl // 4)
+    if unroll is None:
+        unroll = True
+    full_seq = tuple(_pool._PHASE_ORDER) * iterations
+    n_launches = (4 * iterations) // ppl
+    # distinct launch-start offsets into the 4-phase order (1 when 4 | ppl)
+    seqs = []
+    for k in range(n_launches):
+        seq = full_seq[k * ppl:(k + 1) * ppl]
+        if seq not in seqs:
+            seqs.append(seq)
+    n_variants = len(seqs)
 
     h_quads = _pool._pack_quads(height)
     h_pads = tuple(_padH(h_quads[kk], halo) for kk in _pool._QKEYS)
@@ -354,24 +374,33 @@ def pool_automata_pallas_quad(height, pool, iterations: int = 10,
     p0 = tuple(p_quads[kk] for kk in _pool._QKEYS)
     d0 = tuple(jnp.zeros_like(x) for x in p0)
 
-    def step(carry, _):
-        pq, dq = carry
-
-        def wet(c):
+    def make_launch(seq):
+        def run(c):
             pq, dq = c
             p_pads = tuple(_padH(x, halo) for x in pq)
             d_pads = tuple(_padH(x, halo) for x in dq)
             new_p, new_d = _fused_quad_call(
-                h_pads, p_pads, d_pads, phases, drain_particles, res,
-                block, halo,
+                h_pads, p_pads, d_pads, seq, drain_particles, res,
+                block, halo, unroll,
             )
             return tuple(new_p), tuple(new_d)
+        return run
+
+    launches = [make_launch(seq) for seq in seqs]
+
+    def step(carry, t):
+        pq, dq = carry
+
+        def wet(c):
+            if n_variants == 1:
+                return launches[0](c)
+            return jax.lax.switch(t % n_variants, launches, c)
 
         has_water = jnp.any(jnp.stack([jnp.any(x > 0.0) for x in pq]))
         return jax.lax.cond(has_water, wet, lambda c: c, (pq, dq)), None
 
     (pq, dq), _ = jax.lax.scan(
-        step, (p0, d0), None, length=(4 * iterations) // ppl
+        step, (p0, d0), jnp.arange(n_launches, dtype=jnp.int32)
     )
     return (
         _pool._unpack_quads(dict(zip(_pool._QKEYS, pq))),

@@ -29,10 +29,14 @@ def _edge_strip(block, dim: int, take: int, from_start: bool):
     return block[tuple(idx)]
 
 
-def exchange_axis(block, halo: int, axis_name: str, dim: int):
+def exchange_axis(block, halo: int, axis_name: str, dim: int,
+                  border: str = "clamp"):
     """Extend ``block`` by ``halo`` cells on both sides of ``dim`` with
-    neighbor data along mesh axis ``axis_name`` (edge-replicated at the
-    global border).  Must run inside shard_map."""
+    neighbor data along mesh axis ``axis_name``.  Must run inside shard_map.
+
+    ``border``: halo content at the GLOBAL border — "clamp" replicates the
+    shard's own edge strip (gather-stencil clamp semantics), "zero" fills
+    zeros (scatter/adjoint semantics — out-of-grid sources don't exist)."""
     n = lax.axis_size(axis_name)
     i = lax.axis_index(axis_name)
     send_to_next = _edge_strip(block, dim, halo, from_start=False)
@@ -45,21 +49,67 @@ def exchange_axis(block, halo: int, axis_name: str, dim: int):
     else:
         from_prev = jnp.zeros_like(send_to_prev)
         from_next = jnp.zeros_like(send_to_next)
-    # global-border shards replicate their own edge (clamp semantics)
-    own_first = _edge_strip(block, dim, 1, from_start=True)
-    own_last = _edge_strip(block, dim, 1, from_start=False)
-    reps = [1] * block.ndim
-    reps[dim] = halo
-    from_prev = jnp.where(i == 0, jnp.tile(own_first, reps), from_prev)
-    from_next = jnp.where(i == n - 1, jnp.tile(own_last, reps), from_next)
+    if border == "clamp":
+        # global-border shards replicate their own edge (clamp semantics)
+        own_first = _edge_strip(block, dim, 1, from_start=True)
+        own_last = _edge_strip(block, dim, 1, from_start=False)
+        reps = [1] * block.ndim
+        reps[dim] = halo
+        from_prev = jnp.where(i == 0, jnp.tile(own_first, reps), from_prev)
+        from_next = jnp.where(i == n - 1, jnp.tile(own_last, reps), from_next)
+    else:
+        from_prev = jnp.where(i == 0, jnp.zeros_like(from_prev), from_prev)
+        from_next = jnp.where(i == n - 1, jnp.zeros_like(from_next), from_next)
     return jnp.concatenate([from_prev, block, from_next], axis=dim)
 
 
-def exchange_2d(block, halo: int, axis_row: str = "x", axis_col: str = "y"):
+def exchange_2d(block, halo: int, axis_row: str = "x", axis_col: str = "y",
+                border: str = "clamp"):
     """Full 2-D halo (rows then columns — the second pass carries the
     already-widened strips, so corners arrive correctly)."""
-    block = exchange_axis(block, halo, axis_row, dim=0)
-    return exchange_axis(block, halo, axis_col, dim=1)
+    block = exchange_axis(block, halo, axis_row, dim=0, border=border)
+    return exchange_axis(block, halo, axis_col, dim=1, border=border)
+
+
+def fold_axis(ext, halo: int, axis_name: str, dim: int):
+    """Adjoint of exchange_axis for accumulators: fold the halo strips of an
+    extended block back onto the owning neighbors' cores.
+
+    My low strip holds contributions to the PREVIOUS shard's trailing cells
+    and my high strip to the NEXT shard's leading cells; global-border
+    strips are dropped (callers guarantee nothing accumulates out-of-grid).
+    Returns the core block with neighbor contributions added."""
+    n = lax.axis_size(axis_name)
+    core_len = ext.shape[dim] - 2 * halo
+    idx = [slice(None)] * ext.ndim
+    idx[dim] = slice(0, halo)
+    low = ext[tuple(idx)]
+    idx[dim] = slice(halo, halo + core_len)
+    core = ext[tuple(idx)]
+    idx[dim] = slice(halo + core_len, None)
+    high = ext[tuple(idx)]
+    if n > 1:
+        # my low strip → prev shard; I receive next shard's low strip
+        from_next = lax.ppermute(low, axis_name,
+                                 [(k, k - 1) for k in range(1, n)])
+        # my high strip → next shard; I receive prev shard's high strip
+        from_prev = lax.ppermute(high, axis_name,
+                                 [(k, k + 1) for k in range(n - 1)])
+        tail = [slice(None)] * core.ndim
+        tail[dim] = slice(core_len - halo, None)
+        head = [slice(None)] * core.ndim
+        head[dim] = slice(0, halo)
+        core = core.at[tuple(tail)].add(from_next)
+        core = core.at[tuple(head)].add(from_prev)
+    return core
+
+
+def fold_2d(ext, halo: int, axis_row: str = "x", axis_col: str = "y"):
+    """Adjoint of exchange_2d: fold columns first, then rows, so corner
+    contributions route through the column neighbor exactly like the
+    widened strips of the forward exchange."""
+    ext = fold_axis(ext, halo, axis_col, dim=1)
+    return fold_axis(ext, halo, axis_row, dim=0)
 
 
 def _crop(block, halo: int):

@@ -1,0 +1,414 @@
+"""Spatially-sharded erosion cycle — the FULL per-cycle DAG (thermal,
+spawn, particle descent, event reduce, sediment write-back, flow decay,
+pool automata) on one large grid sharded P('x','y') over a device mesh.
+
+This supersedes the reference's margin-overlap tile model
+(/root/reference/Scripts/MeshTileGenerator.cs:166-177 — independent tiles
+with recomputed margins): here one global field is partitioned across
+devices, with ICI halo exchange (`parallel.halo`) carrying exactly the
+strips each phase needs.  SURVEY.md §2.7 ("inter-tile margin → halo
+exchange") at cycle scope.
+
+Design per phase:
+
+* thermal — per-phase halo-1 exchange (``sharded_ops.sharded_thermal_erosion``).
+* spawn — fresh particles are replicated computation (same PRNG key on
+  every shard).  Drain-particle conversion needs a GLOBAL top-K over the
+  drain map: each shard top-Ks its block, all-gathers the (value, global
+  index) candidates (K·nshards scalars — tiny), and selects the exact
+  global top-K by (value desc, index asc) — identical to the single-device
+  ``lax.top_k`` incl. tie-breaks.
+* descent — particles live REPLICATED on every shard; each chunk of
+  ``chunk`` steps, the shard whose core block contains a particle's cell
+  OWNS it (cores partition the grid, so exactly one owner).  Maps are
+  read-only during descent, so ONE halo exchange of width ``chunk`` before
+  the loop suffices: an owned particle drifts ≤ 1 cell/step and every read
+  stays inside the extended block.  After each chunk a masked ``psum``
+  merges the per-owner particle states back to the replicated buffer — an
+  event-sourcing exchange, no particle migration.  Events scatter-add into
+  extended-block accumulators; halo strips fold back to their owning
+  shards once at the end (``halo.fold_2d``).
+* sediment — the clamped-scatter gaussian/tent dispersal splits into the
+  zero-padded correlation (neighbor contributions ride a zero-border halo
+  exchange) plus closed-form global-edge folds applied only on border
+  shards — bit-exact with ``erosion.sediment._disperse_axis``.
+* flow decay — elementwise (no communication).
+* pool automata — per-phase halo-2 exchange; ``_spread_phase`` already
+  takes global-coordinate masks/borders (the same contract the pallas
+  window kernels use), so shards compute their extended block and crop.
+
+Determinism note (D8, extends PARITY.md D5): per-cell float sums of
+descent events reassociate across shard boundaries (each shard scatters
+its owned particles' events, then halo folds add neighbor contributions),
+so multi-particle collisions on one cell can differ from the single-device
+scatter order by float reassociation (~1 ulp).  Everything else — spawn,
+thermal, pool phases, sediment dispersal — is bit-exact; the single-TPU
+``approx_max_k`` drain shortcut is replaced by the exact two-stage top-K.
+``EXACT_PILES`` (serial global solver) is not supported sharded.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..erosion.params import ErosionMode, ErosionSettings
+from ..erosion.particles import Particles, descend_step, spawn
+from ..erosion.pool import (_border_maps, _phase_mask_from_coords,
+                            _spread_phase, _PHASE_ORDER)
+from ..erosion.sediment import KERNEL5, _triangle_taps
+from ..erosion.sim import SimState
+from ..erosion.world import WorldState, update_flow_from_track
+from ..core.tiles import TileSetMeta
+from .halo import exchange_2d, exchange_axis, fold_2d, shard_map
+
+_F32 = jnp.float32
+_SPEC = P("x", "y")
+_REP = P()
+
+
+def _origin(block_shape):
+    lr, lc = block_shape
+    return lax.axis_index("x") * lr, lax.axis_index("y") * lc
+
+
+# --- spawn -------------------------------------------------------------------
+
+def _sharded_spawn(mesh: Mesh, drain_water, key, n: int, res: int):
+    """_spawn_with_drains (erosion.sim) over a sharded drain map.
+
+    Returns (particles [replicated], leftover drain [sharded], next key).
+    Runs the with-drains path unconditionally — with an empty drain map
+    every candidate value is 0, ``has_drain`` is all-False and the result
+    equals the fresh spawn, exactly as the single-device cond."""
+    k1, k2 = jax.random.split(key)
+
+    @partial(shard_map, mesh=mesh, in_specs=(_SPEC, _REP),
+             out_specs=(jax.tree_util.tree_map(lambda _: _REP, Particles(
+                 *[0] * 8)), _SPEC),
+             check_vma=False)
+    def body(drain_block, k1):
+        lr, lc = drain_block.shape
+        row0, col0 = _origin((lr, lc))
+        fresh = spawn(k1, n, res)
+        flat = drain_block.reshape(-1)
+        kloc = min(n, flat.shape[0])
+        vals_l, lidx = lax.top_k(flat, kloc)
+        gidx_l = ((lidx // lc) + row0) * res + ((lidx % lc) + col0)
+        vals_all = lax.all_gather(vals_l, "x")
+        vals_all = lax.all_gather(vals_all, "y").reshape(-1)
+        gidx_all = lax.all_gather(gidx_l, "x")
+        gidx_all = lax.all_gather(gidx_all, "y").reshape(-1)
+        # exact global top-n: value desc, global index asc on ties — the
+        # tie rule lax.top_k applies on the flat global array
+        order = jnp.lexsort((gidx_all, -vals_all))[:n]
+        vals = jnp.take(vals_all, order)
+        idxs = jnp.take(gidx_all, order)
+        has_drain = vals > 0.0
+        rows_i = idxs // res
+        cols_i = idxs % res
+        parts = Particles(
+            row=jnp.where(has_drain, rows_i.astype(_F32), fresh.row),
+            col=jnp.where(has_drain, cols_i.astype(_F32), fresh.col),
+            heading=fresh.heading,
+            vel=fresh.vel,
+            water=jnp.where(has_drain, vals, fresh.water),
+            sediment=fresh.sediment,
+            age=fresh.age,
+            alive=fresh.alive,
+        )
+        own = (has_drain & (rows_i >= row0) & (rows_i < row0 + lr)
+               & (cols_i >= col0) & (cols_i < col0 + lc))
+        li = (jnp.clip(rows_i - row0, 0, lr - 1) * lc
+              + jnp.clip(cols_i - col0, 0, lc - 1))
+        taken = jnp.zeros_like(flat).at[li].add(jnp.where(own, vals, 0.0))
+        leftover = jnp.maximum(flat - taken, 0.0).reshape(lr, lc)
+        return parts, leftover
+
+    parts, leftover = body(drain_water, k1)
+    return parts, leftover, k2
+
+
+# --- descent -----------------------------------------------------------------
+
+def _sharded_descent(mesh: Mesh, world: WorldState, parts: Particles,
+                     params, height_scale, patch_res, res: int,
+                     chunk: int = 8):
+    """descend_all over sharded maps with replicated particles.
+
+    Fixed ``ceil((MAXAGE+1)/chunk)`` chunks (the single-device early exit
+    is a pure skip of no-op work).  Returns (particles, track, pool, sed)
+    with the accumulators sharded like the maps."""
+    steps = params.MAXAGE + 1
+    n_chunks = -(-steps // chunk)
+    H = chunk
+    with_plants = getattr(params, "VEGETATION_FRICTION", 0.0) > 0.0
+    p_specs = jax.tree_util.tree_map(lambda _: _REP, parts)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(_SPEC, _SPEC, _SPEC, _SPEC, p_specs),
+             out_specs=(p_specs, _SPEC, _SPEC, _SPEC),
+             check_vma=False)
+    def body(h, pw, fl, pl, part):
+        lr, lc = h.shape
+        assert H <= lr and H <= lc, (
+            f"halo {H} exceeds shard block {(lr, lc)}")
+        row0, col0 = _origin((lr, lc))
+        er, ec = lr + 2 * H, lc + 2 * H
+
+        wih = height_scale * (h + pw)
+        all_h = wih + params.FLOW_HEIGHT_CONTRIBUTION * fl
+        pieces = [exchange_2d(wih, H).reshape(-1),
+                  exchange_2d(all_h, H).reshape(-1),
+                  exchange_2d(fl, H).reshape(-1)]
+        if with_plants:
+            pieces.append(exchange_2d(pl, H).reshape(-1))
+        combo = jnp.concatenate(pieces)
+        origin = (row0 - H, col0 - H)
+
+        zeros_ext = jnp.zeros(er * ec, _F32)
+
+        def chunk_body(carry, _):
+            part, at, ap, asd = carry
+            row_i = jnp.clip(jnp.round(part.row).astype(jnp.int32), 0, res - 1)
+            col_i = jnp.clip(jnp.round(part.col).astype(jnp.int32), 0, res - 1)
+            owned = ((row_i >= row0) & (row_i < row0 + lr)
+                     & (col_i >= col0) & (col_i < col0 + lc))
+
+            def step_body(p_in, _):
+                p_out, ev = descend_step(
+                    p_in, None, params, height_scale, patch_res, res,
+                    maps=combo, window_origin=origin,
+                    window_shape=(er, ec),
+                )
+                li = ((ev["row"] - origin[0]) * ec
+                      + (ev["col"] - origin[1])).astype(jnp.int32)
+                return p_out, (
+                    li,
+                    jnp.where(owned, ev["d_track"], 0.0),
+                    jnp.where(owned, ev["d_pool"], 0.0),
+                    jnp.where(owned, ev["d_sed"], 0.0),
+                )
+
+            part, (idx, dt, dp_, ds) = lax.scan(
+                step_body, part, None, length=chunk)
+            idx = idx.reshape(-1)
+            at = at.at[idx].add(dt.reshape(-1))
+            ap = ap.at[idx].add(dp_.reshape(-1))
+            asd = asd.at[idx].add(ds.reshape(-1))
+
+            # event-sourcing merge: exactly one shard owns each particle
+            def merge_f(x):
+                return lax.psum(jnp.where(owned, x, jnp.zeros_like(x)),
+                                ("x", "y"))
+
+            merged = Particles(
+                row=merge_f(part.row), col=merge_f(part.col),
+                heading=lax.psum(
+                    jnp.where(owned, part.heading, 0), ("x", "y")),
+                vel=merge_f(part.vel), water=merge_f(part.water),
+                sediment=merge_f(part.sediment),
+                age=lax.psum(jnp.where(owned, part.age, 0), ("x", "y")),
+                alive=lax.psum(
+                    jnp.where(owned, part.alive.astype(jnp.int32), 0),
+                    ("x", "y")) > 0,
+            )
+            return (merged, at, ap, asd), None
+
+        (part, at, ap, asd), _ = lax.scan(
+            chunk_body, (part, zeros_ext, zeros_ext, zeros_ext),
+            None, length=n_chunks)
+
+        outs = []
+        for acc in (at, ap, asd):
+            outs.append(fold_2d(acc.reshape(er, ec), H))
+        return part, outs[0], outs[1], outs[2]
+
+    return body(world.height, world.pool, world.flow, world.plants, parts)
+
+
+# --- sediment ----------------------------------------------------------------
+
+def _disperse_axis_sharded(s, taps, axis_name: str, dim: int):
+    """erosion.sediment._disperse_axis on one shard block: zero-padded
+    correlation over a zero-border halo exchange, plus the closed-form edge
+    folds applied only on global-border shards.  Per-cell op order matches
+    the single-device version — bit-exact."""
+    taps = np.asarray(taps, np.float32)
+    k = len(taps)
+    off = (k - 1) // 2
+    ext = exchange_axis(s, off, axis_name, dim, border="zero")
+    ext = jnp.moveaxis(ext, dim, -1)
+    s_m = jnp.moveaxis(s, dim, -1)
+    n = s_m.shape[-1]
+    out = None
+    for i in range(k):
+        piece = ext[..., i:i + n] * taps[k - 1 - i]
+        out = piece if out is None else out + piece
+    if off > 0:
+        i0 = lax.axis_index(axis_name)
+        is_lo = i0 == 0
+        is_hi = i0 == lax.axis_size(axis_name) - 1
+        t_lo = np.cumsum(taps)
+        for j in range(off):
+            w_lo = float(t_lo[off - j - 1])
+            out = out.at[..., 0].add(
+                jnp.where(is_lo, s_m[..., j] * w_lo, 0.0))
+            out = out.at[..., n - 1].add(
+                jnp.where(is_hi, s_m[..., n - 1 - j] * w_lo, 0.0))
+    return jnp.moveaxis(out, -1, dim)
+
+
+def _sharded_write_sediment(mesh: Mesh, height, sed_acc, params,
+                            height_scale):
+    """erosion.sediment.write_sediment_map over sharded blocks (tent pile
+    profile only — the serial EXACT_PILES solver is inherently global)."""
+    if params.EXACT_PILES:
+        raise NotImplementedError(
+            "EXACT_PILES is a serial global solver; use the tent profile "
+            "(default) for the sharded cycle")
+    thresh = params.PILE_THRESHOLD / height_scale
+    tent = _triangle_taps(params.PILING_RADIUS)
+
+    @partial(shard_map, mesh=mesh, in_specs=(_SPEC, _SPEC), out_specs=_SPEC,
+             check_vma=False)
+    def body(h, sed):
+        disperse_part = jnp.where(sed <= thresh, sed, 0.0)
+        pile_part = jnp.where(sed > thresh, sed, 0.0)
+        delta = _disperse_axis_sharded(
+            _disperse_axis_sharded(disperse_part, KERNEL5, "x", 0),
+            KERNEL5, "y", 1)
+        # pile_deposit of an all-zero map is zero — running it
+        # unconditionally equals the single-device any()-gated cond
+        delta = delta + _disperse_axis_sharded(
+            _disperse_axis_sharded(pile_part, tent, "x", 0), tent, "y", 1)
+        new_h = h + delta
+        ok = (new_h >= 0.0) & (new_h <= 1.0)
+        return jnp.where(ok, new_h, h)
+
+    return body(height, sed_acc)
+
+
+# --- pool automata -----------------------------------------------------------
+
+def _sharded_pool_automata(mesh: Mesh, height, pool, res: int,
+                           iterations: int, drain_particles: bool):
+    """erosion.pool.pool_automata over sharded blocks: per phase, a halo-2
+    exchange of the pool (height exchanged once) and the full-grid masked
+    ``_spread_phase`` with global-coordinate masks/borders on the extended
+    block — core cells compute identically to the single-device op
+    (bit-exact).  The single-device dry-grid lax.cond skip is omitted (a
+    dry phase is a no-op either way)."""
+
+    @partial(shard_map, mesh=mesh, in_specs=(_SPEC, _SPEC),
+             out_specs=(_SPEC, _SPEC), check_vma=False)
+    def body(h, p):
+        lr, lc = h.shape
+        row0, col0 = _origin((lr, lc))
+        ext_h = exchange_2d(h, 2)
+        grow = (lax.broadcasted_iota(jnp.int32, ext_h.shape, 0)
+                + row0 - 2)
+        gcol = (lax.broadcasted_iota(jnp.int32, ext_h.shape, 1)
+                + col0 - 2)
+        inb = (grow >= 0) & (grow < res) & (gcol >= 0) & (gcol < res)
+        border = _border_maps(ext_h.shape, grow, gcol, res)
+        masks = [
+            _phase_mask_from_coords(grow, gcol, xo, zo) & inb
+            for xo, zo in _PHASE_ORDER
+        ]
+
+        def make_branch(i):
+            def br(c):
+                p, drains = c
+                ext_p = exchange_2d(p, 2)
+                new_ext, dm_ext = _spread_phase(
+                    ext_h, ext_p, masks[i], drain_particles, border=border)
+                return (new_ext[2:2 + lr, 2:2 + lc],
+                        drains + dm_ext[2:2 + lr, 2:2 + lc])
+            return br
+
+        branches = [make_branch(i) for i in range(4)]
+
+        def step(carry, t):
+            return lax.switch(t % 4, branches, carry), None
+
+        (p, drains), _ = lax.scan(
+            step, (p, jnp.zeros_like(p)),
+            jnp.arange(4 * iterations, dtype=jnp.int32))
+        return p, drains
+
+    return body(height, pool)
+
+
+# --- the cycle ---------------------------------------------------------------
+
+def sharded_erosion_cycle(mesh: Mesh, state: SimState,
+                          settings: ErosionSettings, meta: TileSetMeta,
+                          chunk: int = 8) -> SimState:
+    """One full erosion cycle (erosion.sim.erosion_cycle parity) on a
+    P('x','y')-sharded world.  All SimState arrays must be sharded
+    P('x','y') except ``key`` (replicated)."""
+    params = settings.as_parameters()
+    res = meta.generator_res
+    height_scale = float(meta.height)
+    patch_res = meta.patch_res
+    world = state.world
+    behavior = settings.BEHAVIOR
+
+    # 1. thermal
+    if settings.ENABLE_THERMAL and behavior != ErosionMode.ONLY_FLOW_WATER:
+        from .sharded_ops import sharded_thermal_erosion
+
+        new_height = sharded_thermal_erosion(
+            mesh, world.height, settings.TALUS, settings.THERMAL_STEP,
+            float(meta.tile_size) / float(meta.height),
+            iterations=settings.THERMAL_CYCLES)
+        world = replace(world, height=new_height)
+
+    drain_water = state.drain_water
+    key = state.key
+
+    if behavior != ErosionMode.ONLY_FLOW_WATER:
+        # 2. spawn (drain conversion via exact global top-K)
+        parts, drain_water, key = _sharded_spawn(
+            mesh, drain_water, key, settings.PARTICLES_PER_CYCLE, res)
+        world = replace(world, pool=world.pool + drain_water)
+        drain_water = jnp.zeros_like(drain_water)
+
+        # 3. descent
+        _, track_acc, pool_acc, sed_acc = _sharded_descent(
+            mesh, world, parts, params, height_scale, patch_res, res,
+            chunk=chunk)
+
+        # 4. event reduce (elementwise — sharding propagates)
+        world = replace(
+            world,
+            pool=world.pool + pool_acc * params.POOL_PLACEMENT_MULTIPLIER,
+            track=world.track + track_acc * params.TRACK_PLACEMENT_MULTIPLIER,
+        )
+
+        # 5. sediment write-back
+        world = replace(
+            world,
+            height=_sharded_write_sediment(
+                mesh, world.height, sed_acc, params, height_scale),
+        )
+
+    # 6. track → flow decay + evaporation (elementwise)
+    world = update_flow_from_track(world, params, height_scale)
+
+    # 7. pool automata
+    pool, drains = _sharded_pool_automata(
+        mesh, world.height, world.pool, res, settings.WATER_STEPS,
+        drain_particles=behavior != ErosionMode.ONLY_FLOW_WATER)
+    world = replace(world, pool=pool)
+    drain_water = drain_water + drains
+
+    return SimState(world=world, drain_water=drain_water, key=key)

@@ -207,3 +207,113 @@ class TestTileDeterminism:
         neg = np.asarray([[-32, -16], [16, -48]], np.int32)
         out = np.asarray(TL.tile_batch(cfg, neg, seed=3))
         assert np.isfinite(out).all()
+
+
+class TestShardedErosionCycle:
+    """The full sharded erosion cycle vs the single-device cycle.
+
+    Everything except descent event sums is bit-exact; descent scatter
+    reassociates across shard boundaries (documented D8), so maps compare
+    with a tiny tolerance and the spawn/pool stages exactly."""
+
+    def _setup(self, res=32, seed=6):
+        from noize_tpu.erosion.params import ErosionSettings
+        from noize_tpu.erosion.sim import init_state
+
+        rng = np.random.default_rng(seed)
+        h = rng.uniform(0.2, 0.8, (res, res)).astype(np.float32)
+        settings = ErosionSettings(
+            PARTICLES_PER_CYCLE=48, MAXAGE=12, WATER_STEPS=3, CYCLES=1,
+            PILING_RADIUS=4,
+        )
+        meta = TileSetMeta(tile_res=res, tile_size=res, generator_res=res,
+                           height=500, margin=0)
+        state = init_state(jnp.asarray(h), jax.random.PRNGKey(9))
+        return state, settings, meta
+
+    def _shard_state(self, mesh, state):
+        from noize_tpu.erosion.sim import SimState
+        from dataclasses import replace as drep
+
+        sh = DM.field_sharding(mesh)
+        put = lambda a: jax.device_put(a, sh)
+        w = state.world
+        world = type(w)(height=put(w.height), pool=put(w.pool),
+                        flow=put(w.flow), track=put(w.track),
+                        plants=put(w.plants))
+        return SimState(world=world, drain_water=put(state.drain_water),
+                        key=state.key)
+
+    def test_cycle_matches_single_device(self, mesh):
+        from noize_tpu.erosion.sim import erosion_cycle
+        from noize_tpu.parallel.sharded_erosion import sharded_erosion_cycle
+
+        state, settings, meta = self._setup()
+        want = erosion_cycle(state, settings, meta)
+
+        got = sharded_erosion_cycle(
+            mesh, self._shard_state(mesh, state), settings, meta, chunk=4)
+
+        for name in ("height", "pool", "flow", "track"):
+            g = np.asarray(getattr(got.world, name))
+            w_ = np.asarray(getattr(want.world, name))
+            np.testing.assert_allclose(g, w_, atol=2e-6, err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(got.drain_water), np.asarray(want.drain_water),
+            atol=2e-6)
+        # PRNG keys advance identically
+        assert np.array_equal(np.asarray(got.key), np.asarray(want.key))
+
+    def test_two_cycles_with_drain_respawn(self, mesh):
+        """Cycle 2 exercises the drain top-K respawn path across shards."""
+        from noize_tpu.erosion.sim import erosion_cycle
+        from noize_tpu.parallel.sharded_erosion import sharded_erosion_cycle
+
+        state, settings, meta = self._setup(seed=13)
+        want = erosion_cycle(state, settings, meta)
+        want = erosion_cycle(want, settings, meta)
+
+        got = self._shard_state(mesh, state)
+        got = sharded_erosion_cycle(mesh, got, settings, meta, chunk=4)
+        got = sharded_erosion_cycle(mesh, got, settings, meta, chunk=4)
+
+        for name in ("height", "pool", "flow"):
+            g = np.asarray(getattr(got.world, name))
+            w_ = np.asarray(getattr(want.world, name))
+            np.testing.assert_allclose(g, w_, atol=5e-6, err_msg=name)
+
+    def test_sharded_pool_automata_bit_exact(self, mesh):
+        from noize_tpu.erosion import pool as PO
+        from noize_tpu.parallel.sharded_erosion import _sharded_pool_automata
+
+        res = 32
+        rng = np.random.default_rng(17)
+        h = rng.uniform(0, 1, (res, res)).astype(np.float32)
+        p = (rng.uniform(-0.3, 0.1, (res, res))).clip(0).astype(np.float32)
+        want_p, want_d = PO.pool_automata(
+            jnp.asarray(h), jnp.asarray(p), iterations=3)
+        sh = DM.field_sharding(mesh)
+        got_p, got_d = _sharded_pool_automata(
+            mesh, jax.device_put(jnp.asarray(h), sh),
+            jax.device_put(jnp.asarray(p), sh), res, 3, True)
+        np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+        np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
+
+    def test_sharded_sediment_bit_exact(self, mesh):
+        from noize_tpu.erosion.sediment import write_sediment_map
+        from noize_tpu.erosion.params import ErosionSettings
+        from noize_tpu.parallel.sharded_erosion import _sharded_write_sediment
+
+        res = 32
+        rng = np.random.default_rng(19)
+        h = rng.uniform(0.3, 0.7, (res, res)).astype(np.float32)
+        sed = (rng.uniform(-0.01, 0.012, (res, res))).astype(np.float32)
+        sed[5, 7] = 0.5  # force a pile
+        params = ErosionSettings(PILING_RADIUS=4).as_parameters()
+        want = write_sediment_map(jnp.asarray(h), jnp.asarray(sed),
+                                  params, 500.0)
+        sh = DM.field_sharding(mesh)
+        got = _sharded_write_sediment(
+            mesh, jax.device_put(jnp.asarray(h), sh),
+            jax.device_put(jnp.asarray(sed), sh), params, 500.0)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
