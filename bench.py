@@ -53,15 +53,19 @@ def _time_fn_pipelined(fn, *args, reps: int = 5, warmup: int = 2):
     return (time.perf_counter() - t0) * 1e3 / reps
 
 
-def _time_chained(body_fn, reps: int = 4, rtt_ms: float = 28.0):
+def _time_chained(body_fn, reps: int = 4, rtt_ms: float = 28.0,
+                  with_cost: bool = False):
     """Ground-truth device timing: scan ``reps`` executions of ``body_fn``
     (key -> scalar) inside one jit, read back the 4-byte total, subtract one
     dispatch RTT.  See BENCH_HISTORY.md — readiness signals and bulk
-    readback through the device tunnel are not trustworthy."""
+    readback through the device tunnel are not trustworthy.
+
+    ``with_cost``: also return XLA's per-call cost analysis (flops / bytes
+    accessed, divided by ``reps``) — the tunnel-compatible substitute for
+    jax.profiler traces."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
     def run(key):
         def body(carry, k):
             return carry + body_fn(k), None
@@ -69,11 +73,29 @@ def _time_chained(body_fn, reps: int = 4, rtt_ms: float = 28.0):
                                 jax.random.split(key, reps))
         return total
 
-    float(run(jax.random.PRNGKey(11)))  # warmup/compile
+    compiled = jax.jit(run).lower(jax.random.PRNGKey(11)).compile()
+    cost = None
+    if with_cost:
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            cost = {
+                "gflops_per_call": round(
+                    float(ca.get("flops", 0.0)) / reps / 1e9, 3),
+                "gbytes_per_call": round(
+                    float(ca.get("bytes accessed", 0.0)) / reps / 1e9, 3),
+            }
+        except Exception as e:  # cost analysis is best-effort
+            cost = {"error": f"{type(e).__name__}: {e}"[:120]}
+    float(compiled(jax.random.PRNGKey(11)))  # warmup
     t0 = time.perf_counter()
-    float(run(jax.random.PRNGKey(12)))
+    float(compiled(jax.random.PRNGKey(12)))
     wall = (time.perf_counter() - t0) * 1e3
-    return max(wall - rtt_ms, wall * 0.2) / reps
+    ms = max(wall - rtt_ms, wall * 0.2) / reps
+    if with_cost:
+        return ms, cost
+    return ms
 
 
 def _safe(results, key, fn):
@@ -186,6 +208,12 @@ def main():
     _safe(results, "5_multitile_4x4", _c5)
 
     # --- phase breakdown at headline size ------------------------------------
+    # Every entry uses the chained-scalar method (scan K reps in ONE jit,
+    # scalar readback) — per-call latency timing through the tunnel bottoms
+    # out at the ~28-45 ms dispatch RTT and carries no information below it.
+    # Inputs are perturbed per scan step from the key so XLA can't CSE the
+    # reps.  gflops/gbytes come from XLA cost_analysis (per call), the
+    # tunnel-compatible substitute for jax.profiler traces.
     from noize_tpu.erosion.sim import erosion_cycle, init_state
 
     rb = 256 if fast else 2048
@@ -199,95 +227,206 @@ def main():
                         hurst=0.4, noise_size=1700.0))())
     phases = {}
 
-    def _phase(name, fn, *args, **kw):
+    def _eps(k):
+        return jax.random.uniform(k, (), minval=0.0, maxval=1e-9)
+
+    def _phase(name, body, reps=4, cells=None):
         try:
-            phases[name], _ = _time_fn(fn, *args, **kw)
+            ms, cost = _time_chained(body, reps=reps, with_cost=True)
+            entry = {"ms": round(ms, 3), "method": "chained"}
+            if cost:
+                entry.update(cost)
+            if cells is not None:
+                entry["gcells_per_s"] = round(cells / ms / 1e6, 3)
+            phases[name] = entry
         except Exception as e:
-            phases[name] = f"error: {type(e).__name__}: {e}"[:200]
+            phases[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
-    f_noise = jax.jit(lambda: fractal(rb, 0, 0, noise_type="Simplex",
-                                      octaves=13, hurst=0.4, noise_size=1700.0))
-    _phase("noise", f_noise, reps=reps)
+    cells_b = rb * rb
 
-    @jax.jit
+    _phase("noise", lambda k: fractal(
+        rb, jax.random.randint(k, (), 0, 1000).astype(jnp.float32), 0,
+        noise_type="Simplex", octaves=13, hurst=0.4,
+        noise_size=1700.0).sum(), cells=cells_b)
+
     def f_blur(h):
         def body(_, a):
             return K.separable_series(a, taps, taps, 1.0)
         return jax.lax.fori_loop(0, 17, body, h)
 
-    _phase("blur_x17", f_blur, hb, reps=reps)
-    f_flow = jax.jit(lambda h: FL.flow_map(h, iterations=8))
-    _phase("flow_x8", f_flow, hb, reps=reps)
+    _phase("blur_x17", lambda k: f_blur(hb + _eps(k)).sum(), cells=cells_b)
+    _phase("flow_x8",
+           lambda k: FL.flow_map(hb + _eps(k), iterations=8).sum(),
+           cells=cells_b)
 
-    st0 = init_state(hb, jax.random.PRNGKey(0))
-    f_ero = jax.jit(lambda s: erosion_cycle(s, es_b, meta_b))
-    _phase("erosion_cycle", f_ero, st0, reps=reps)
+    def ero_body(k):
+        st = init_state(hb + _eps(k), k)
+        out = erosion_cycle(st, es_b, meta_b)
+        return out.world.height.sum() + out.world.pool.sum()
+
+    _phase("erosion_cycle", ero_body, reps=3)
 
     # erosion sub-phases (to target optimization)
     from noize_tpu.erosion import particles as PART
     from noize_tpu.erosion import pool as POOL
     from noize_tpu.erosion.world import WorldState
 
-    parts0 = PART.spawn(jax.random.PRNGKey(1), es_b.PARTICLES_PER_CYCLE, rb)
-    w0 = WorldState.create(hb)
-    f_desc = jax.jit(lambda p, w: PART.descend_all(
-        p, w, es_b.as_parameters(), float(meta_b.height), meta_b.patch_res, rb))
-    _phase("descent_scan", f_desc, parts0, w0, reps=reps)
-    f_pool = jax.jit(lambda h, p: POOL.pool_automata(
-        h, p, iterations=es_b.WATER_STEPS, drain_particles=True))
+    params_b = es_b.as_parameters()
+
+    def desc_body(k):
+        parts = PART.spawn(k, es_b.PARTICLES_PER_CYCLE, rb)
+        w = WorldState.create(hb + _eps(k))
+        _, t, p_, s = PART.descend_all(
+            parts, w, params_b, float(meta_b.height), meta_b.patch_res, rb)
+        return t.sum() + p_.sum() + s.sum()
+
+    _phase("descent_scan", desc_body, reps=3)
+
     pool0 = jnp.zeros_like(hb) + 1e-3
-    _phase("pool_automata_x10", f_pool, hb, pool0, reps=reps)
+
+    def pool_body(fn):
+        def body(k):
+            p, d = fn(hb + _eps(k), pool0)
+            return p[0, 0] + d.sum()
+        return body
+
+    _phase("pool_automata_x10", pool_body(
+        lambda h, p: POOL.pool_automata(
+            h, p, iterations=es_b.WATER_STEPS, drain_particles=True)))
     if jax.default_backend() == "tpu" and rb % 256 == 0:
         from noize_tpu.erosion import pool_pallas as POOLP
 
-        f_poolp = jax.jit(lambda h, p: POOLP.pool_automata_pallas(
-            h, p, iterations=es_b.WATER_STEPS, drain_particles=True))
-        _phase("pool_automata_x10_pallas", f_poolp, hb, pool0, reps=reps)
-        f_poolpp = jax.jit(lambda h, p: POOLP.pool_automata_pallas_pair(
-            h, p, iterations=es_b.WATER_STEPS, drain_particles=True))
-        _phase("pool_automata_x10_pallas_pair", f_poolpp, hb, pool0,
-               reps=reps)
+        _phase("pool_automata_x10_pallas_pair", pool_body(
+            lambda h, p: POOLP.pool_automata_pallas_pair(
+                h, p, iterations=es_b.WATER_STEPS, drain_particles=True)))
+        _phase("pool_automata_x10_pallas_quad", pool_body(
+            lambda h, p: POOLP.pool_automata_pallas_quad(
+                h, p, iterations=es_b.WATER_STEPS, drain_particles=True)))
         # sparse water — the production shape (pools sit in basins)
         pool_sp = jnp.zeros_like(hb).at[rb // 2:rb // 2 + rb // 8, :].set(1e-3)
-        _phase("pool_automata_x10_pair_sparse", f_poolpp, hb, pool_sp,
-               reps=reps)
-    f_thermal = jax.jit(lambda h: __import__("noize_tpu.ops.thermal", fromlist=["thermal_erosion"]).thermal_erosion(
-        h, es_b.TALUS, es_b.THERMAL_STEP, float(meta_b.tile_size) / meta_b.height, iterations=es_b.THERMAL_CYCLES))
-    _phase("thermal", f_thermal, hb, reps=reps)
+
+        def pool_sparse_body(k):
+            p, d = POOLP.pool_automata_pallas_pair(
+                hb + _eps(k), pool_sp, iterations=es_b.WATER_STEPS,
+                drain_particles=True)
+            return p[0, 0] + d.sum()
+
+        _phase("pool_automata_x10_pair_sparse", pool_sparse_body)
+
+    from noize_tpu.ops.thermal import thermal_erosion
+
+    _phase("thermal", lambda k: thermal_erosion(
+        hb + _eps(k), es_b.TALUS, es_b.THERMAL_STEP,
+        float(meta_b.tile_size) / meta_b.height,
+        iterations=es_b.THERMAL_CYCLES).sum(), cells=cells_b)
 
     # remaining erosion sub-pieces
     from noize_tpu.erosion import sediment as SED
     from noize_tpu.erosion import sim as SIM
 
     sed0 = jnp.zeros_like(hb).at[100, 100].set(-0.001)
-    f_sed = jax.jit(lambda h, s: SED.write_sediment_map(
-        h, s, es_b.as_parameters(), float(meta_b.height)))
-    _phase("sediment_write", f_sed, hb, sed0, reps=reps)
     sedp = sed0.at[200, 200].set(0.01)  # one pile > threshold
-    _phase("sediment_write_with_pile", f_sed, hb, sedp, reps=reps)
-    f_spawn = jax.jit(lambda k, d: SIM._spawn_with_drains(
-        k, es_b.PARTICLES_PER_CYCLE, rb, d))
-    _phase("spawn_with_drains", f_spawn, jax.random.PRNGKey(2),
-           jnp.zeros_like(hb), reps=reps)
+
+    def sed_body(sed):
+        def body(k):
+            return SED.write_sediment_map(
+                hb + _eps(k), sed, params_b, float(meta_b.height)).sum()
+        return body
+
+    _phase("sediment_write", sed_body(sed0))
+    _phase("sediment_write_with_pile", sed_body(sedp))
+
+    def spawn_body(k):
+        parts, leftover, _ = SIM._spawn_with_drains(
+            k, es_b.PARTICLES_PER_CYCLE, rb, jnp.zeros_like(hb))
+        return parts.row.sum() + leftover.sum()
+
+    _phase("spawn_with_drains", spawn_body)
+
     from noize_tpu.erosion.world import update_flow_from_track
-    f_uft = jax.jit(lambda w: update_flow_from_track(
-        w, es_b.as_parameters(), float(meta_b.height)))
-    _phase("update_flow_from_track", f_uft, w0, reps=reps)
+
+    def uft_body(k):
+        w = WorldState.create(hb + _eps(k))
+        return update_flow_from_track(
+            w, params_b, float(meta_b.height)).flow.sum()
+
+    _phase("update_flow_from_track", uft_body)
 
     from noize_tpu.ops import mesh as MH
 
-    f_mesh = jax.jit(lambda h: MH.heightmap_mesh_overshoot(
-        h, meta_b.tile_res, rb, 1000.0, float(meta_b.tile_size)))
-    _phase("mesh", f_mesh, hb, reps=reps)
-    try:
-        if jax.default_backend() == "tpu":
-            from noize_tpu.ops.pallas import stencil as PSM
+    def mesh_body(k):
+        m = MH.heightmap_mesh_overshoot(
+            hb + _eps(k), meta_b.tile_res, rb, 1000.0,
+            float(meta_b.tile_size))
+        return m.positions.sum()
 
-            f_pblur = jax.jit(lambda h: PSM.gauss_chain(h, 5, 1.0, 17))
-            _phase("blur_x17_pallas", f_pblur, hb, reps=reps)
-    except Exception as e:
-        phases["blur_x17_pallas"] = f"error: {type(e).__name__}: {e}"[:200]
+    _phase("mesh", mesh_body)
+    if jax.default_backend() == "tpu":
+        from noize_tpu.ops.pallas import stencil as PSM
+
+        _phase("blur_x17_pallas",
+               lambda k: PSM.gauss_chain(hb + _eps(k), 5, 1.0, 17).sum(),
+               cells=cells_b)
     results["phase_breakdown"] = phases
+
+    # --- per-kernel throughput at saturating sizes (BASELINE.md Gcells/s) ---
+    throughput = {}
+    for rt in ([256] if fast else [2048, 4096]):
+        sizes = {}
+        ht = jax.block_until_ready(jax.jit(
+            lambda: fractal(rt, 0, 0, noise_type="Simplex", octaves=13,
+                            hurst=0.4, noise_size=1700.0))())
+        cells = rt * rt
+
+        def tp(name, body, reps=4):
+            try:
+                ms, cost = _time_chained(body, reps=reps, with_cost=True)
+                e = {"ms": round(ms, 3),
+                     "gcells_per_s": round(cells / ms / 1e6, 3)}
+                if cost:
+                    e.update(cost)
+                sizes[name] = e
+            except Exception as e:
+                sizes[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+        tp("noise_13oct", lambda k: fractal(
+            rt, jax.random.randint(k, (), 0, 1000).astype(jnp.float32), 0,
+            noise_type="Simplex", octaves=13, hurst=0.4,
+            noise_size=1700.0).sum())
+        tp("gauss5_x1", lambda k: K.separable_series(
+            ht + _eps(k), taps, taps, 1.0).sum())
+        tp("sobel2d", lambda k: K.sobel2d(ht + _eps(k)).sum())
+        tp("value_erosion", lambda k: K.value_erosion(ht + _eps(k)).sum())
+        tp("thermal_x1", lambda k: thermal_erosion(
+            ht + _eps(k), es_b.TALUS, es_b.THERMAL_STEP, 1.0,
+            iterations=1).sum())
+        tp("flow_step_x1", lambda k: FL.flow_map(
+            ht + _eps(k), iterations=1).sum())
+        throughput[f"{rt}x{rt}"] = sizes
+    results["kernel_throughput"] = throughput
+
+    # --- config 6: large-field pipeline (8192² — the sharded-path scale; on
+    # one chip it exercises the HBM-resident path; the 8-device mesh version
+    # is correctness-tested on CPU in tests/test_parallel.py) --------------
+    r6 = 512 if fast else 8192
+
+    def _c6():
+        def body(k):
+            x = jax.random.randint(k, (), 0, 1000).astype(jnp.float32)
+            h = fractal(r6, x, 0, noise_type="Simplex", octaves=13,
+                        hurst=0.4, noise_size=1700.0)
+
+            def it(_, a):
+                return K.separable_series(a, taps, taps, 1.0)
+
+            h = jax.lax.fori_loop(0, 17, it, h)
+            h = thermal_erosion(h, es_b.TALUS, es_b.THERMAL_STEP, 1.0,
+                                iterations=es_b.THERMAL_CYCLES)
+            return FL.flow_map(h, iterations=8).sum()
+        ms = _time_chained(body, reps=2)
+        return {"ms": ms, "gcells_per_s": r6 * r6 / ms / 1e6,
+                "pipeline": "noise13 + gauss5x17 + thermal + flow8"}
+    _safe(results, "6_large_field_8192", _c6)
 
     # --- headline: flagship 2048² full step ---------------------------------
     meta = TileSetMeta(
