@@ -236,6 +236,9 @@ def main():
             entry = {"ms": round(ms, 3), "method": "chained"}
             if cost:
                 entry.update(cost)
+                if "gflops_per_call" in cost and ms > 0:
+                    entry["achieved_gflops_per_s"] = round(
+                        cost["gflops_per_call"] / ms * 1e3, 1)
             if cells is not None:
                 entry["gcells_per_s"] = round(cells / ms / 1e6, 3)
             phases[name] = entry
@@ -385,6 +388,9 @@ def main():
                      "gcells_per_s": round(cells / ms / 1e6, 3)}
                 if cost:
                     e.update(cost)
+                    if "gflops_per_call" in cost and ms > 0:
+                        e["achieved_gflops_per_s"] = round(
+                            cost["gflops_per_call"] / ms * 1e3, 1)
                 sizes[name] = e
             except Exception as e:
                 sizes[name] = {"error": f"{type(e).__name__}: {e}"[:200]}

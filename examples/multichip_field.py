@@ -36,6 +36,24 @@ def main():
           f"in {(time.perf_counter()-t0)*1e3:.0f}ms; "
           f"velocity range [{float(v.min()):.3f}, {float(v.max()):.3f}]")
 
+
+    # full sharded erosion: the COMPLETE cycle (particles, pools, sediment)
+    # on the sharded field — parallel.sharded_erosion
+    from noize_tpu.parallel.sharded_erosion import ShardedErosionSim
+
+    t0 = time.perf_counter()
+    sim = ShardedErosionSim(
+        mesh, np.asarray(h),
+        settings=ErosionSettings(PARTICLES_PER_CYCLE=256, MAXAGE=24,
+                                 WATER_STEPS=4, CYCLES=1, PILING_RADIUS=8),
+        meta=TileSetMeta(tile_res=res, tile_size=res, generator_res=res,
+                         height=1000, margin=0),
+    )
+    sim.step(2)
+    sim.height_map.block_until_ready()
+    print(f"sp erosion: 2 full cycles on the sharded {res}\u00b2 field "
+          f"in {(time.perf_counter()-t0)*1e3:.0f}ms")
+
     bmesh = DM.batch_mesh()
     n = len(jax.devices())
     meta = TileSetMeta(tile_res=96, tile_size=96, generator_res=128,

@@ -316,6 +316,161 @@ def _fused_quad_call(h_pads, p_pads, d_pads, phase_seq, drain_particles: bool,
     return outs[:4], outs[4:]
 
 
+def _fused_pair_call(h_e_pad, h_o_pad, p_e_pad, p_o_pad, d_e_pad, d_o_pad,
+                     phase_seq, drain_particles: bool, res: int,
+                     block: int, halo: int, unroll: bool):
+    """One launch: run ``phase_seq`` phases on the half-row pair lattices
+    with the whole chain VMEM-resident per row block — the pair kernel's
+    proven compute profile with the per-phase DMA and XLA pad/accumulate
+    glue paid once per launch.
+
+    Inputs are (res/2, res) lattices pre-padded by ``halo`` rows (edge
+    mode); validity shrinks 2 lattice rows per phase per side, so ``halo``
+    ≥ 2·len(phase_seq).  Drain accumulators ride through the kernel to
+    keep the XLA path's exact f32 add order.  All six input DMAs are
+    started before any wait (overlapped transfers)."""
+    r2 = res // 2
+    nblk = r2 // block
+    w = block + 2 * halo
+    phase0 = _pool._PHASE_ORDER.index(phase_seq[0])
+
+    def kernel(*refs):
+        ins = refs[:6]
+        outs = refs[6:10]
+        scratch = refs[10:16]
+        sems = refs[16:22]
+        i = pl.program_id(0)
+
+        copies = [
+            pltpu.make_async_copy(src.at[pl.ds(i * block, w), :], dst, sem)
+            for src, dst, sem in zip(ins, scratch, sems)
+        ]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+        row0 = i * block - halo
+        h_e = scratch[0][:]
+        h_o = scratch[1][:]
+
+        def apply_phase(c, xo, zo):
+            p_e, p_o, d_e, d_o = c
+            if zo == 0:
+                na, nc, da, dc = _pool._phase_pair(
+                    h_e, h_o, p_e, p_o, xo, 0, drain_particles, res,
+                    row0=row0)
+                return na, nc, d_e + da, d_o + dc
+            na, nc, da, dc = _pool._phase_pair(
+                h_o, h_e, p_o, p_e, xo, 1, drain_particles, res, row0=row0)
+            return nc, na, d_e + dc, d_o + da
+
+        carry = tuple(scratch[n][:] for n in (2, 3, 4, 5))
+        if unroll:
+            for xo, zo in phase_seq:
+                carry = apply_phase(carry, xo, zo)
+            final = carry
+        else:
+            branches = [
+                (lambda xo, zo: lambda c: apply_phase(c, xo, zo))(xo, zo)
+                for xo, zo in _pool._PHASE_ORDER
+            ]
+
+            def body(t, c):
+                return jax.lax.switch((t + phase0) % 4, branches, c)
+
+            final = jax.lax.fori_loop(0, len(phase_seq), body, carry)
+
+        sl = slice(halo, halo + block)
+        for n in range(4):
+            outs[n][:] = final[n][sl, :]
+
+    out_spec = pl.BlockSpec((block, res), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=(out_spec,) * 4,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((r2, res), _F32) for _ in range(4)
+        ),
+        scratch_shapes=[pltpu.VMEM((w, res), _F32) for _ in range(6)]
+        + [pltpu.SemaphoreType.DMA] * 6,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(h_e_pad, h_o_pad, p_e_pad, p_o_pad, d_e_pad, d_o_pad)
+    return outs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "drain_particles", "block",
+                     "phases_per_launch", "unroll"),
+)
+def pool_automata_pallas_pair_fused(height, pool, iterations: int = 10,
+                                    drain_particles: bool = True,
+                                    block: int = None,
+                                    phases_per_launch: int = 4,
+                                    unroll: bool = True):
+    """Half-row-pair pool automata with ``phases_per_launch`` phases fused
+    per pallas launch (one water step per launch at the default 4).
+    Bit-exact with pool_automata — shared _phase_pair, drain accumulators
+    threaded through the kernel in phase order."""
+    res = height.shape[0]
+    ppl = phases_per_launch
+    assert (4 * iterations) % ppl == 0, (ppl, iterations)
+    halo = max(-(-2 * ppl // 4) * 4, 4)
+    r2 = res // 2
+    if block is None:
+        block = next(
+            b for b in (256, 128, 64, 32, 16, 8) if r2 % b == 0 and b >= halo
+        )
+    full_seq = tuple(_pool._PHASE_ORDER) * iterations
+    n_launches = (4 * iterations) // ppl
+    seqs = []
+    for k in range(n_launches):
+        seq = full_seq[k * ppl:(k + 1) * ppl]
+        if seq not in seqs:
+            seqs.append(seq)
+    n_variants = len(seqs)
+
+    h_e, h_o = _pool._halfrow_views(height, 0)
+    p_e0, p_o0 = _pool._halfrow_views(pool, 0)
+    hpe, hpo = _padH(h_e, halo), _padH(h_o, halo)
+    d0 = (jnp.zeros_like(p_e0), jnp.zeros_like(p_o0))
+
+    def make_launch(seq):
+        def run(c):
+            p_e, p_o, d_e, d_o = c
+            return tuple(_fused_pair_call(
+                hpe, hpo, _padH(p_e, halo), _padH(p_o, halo),
+                _padH(d_e, halo), _padH(d_o, halo),
+                seq, drain_particles, res, block, halo, unroll,
+            ))
+        return run
+
+    launches = [make_launch(seq) for seq in seqs]
+
+    def step(carry, t):
+        def wet(c):
+            if n_variants == 1:
+                return launches[0](c)
+            return jax.lax.switch(t % n_variants, launches, c)
+
+        has_water = jnp.any(carry[0] > 0.0) | jnp.any(carry[1] > 0.0)
+        return jax.lax.cond(has_water, wet, lambda c: c, carry), None
+
+    (p_e, p_o, d_e, d_o), _ = jax.lax.scan(
+        step, (p_e0, p_o0, d0[0], d0[1]),
+        jnp.arange(n_launches, dtype=jnp.int32))
+    return (
+        _pool._halfrow_join(p_e, p_o, 0),
+        _pool._halfrow_join(d_e, d_o, 0),
+    )
+
+
 def _padH(a, h: int):
     return jnp.concatenate(
         [
@@ -357,7 +512,10 @@ def pool_automata_pallas_quad(height, pool, iterations: int = 10,
             b for b in (256, 128, 64, 32, 16, 8) if r2 % b == 0 and b >= halo
         )
     if unroll is None:
-        unroll = True
+        # fori_loop+switch default: the unrolled multi-phase body executes
+        # pathologically in interpret mode (tests), and on-chip the quad
+        # variants measure within ~2 ms either way (25.5 vs 27.4 ms)
+        unroll = False
     full_seq = tuple(_pool._PHASE_ORDER) * iterations
     n_launches = (4 * iterations) // ppl
     # distinct launch-start offsets into the 4-phase order (1 when 4 | ppl)

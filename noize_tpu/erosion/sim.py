@@ -169,20 +169,26 @@ def erosion_cycle(state: SimState, settings: ErosionSettings, meta: TileSetMeta)
     # 6. track → flow decay + surface evaporation (UpdateFlowFromTrackJob)
     world = update_flow_from_track(world, params, height_scale)
 
-    # 7. pool automata (PoolAutomataJob) — multi-phase-fused diagonal-
-    # quadrant pallas kernel on TPU at production sizes (each launch runs a
-    # whole water step VMEM-resident on the active res²/4 lattice; bit-exact
-    # with the XLA path), XLA half-row path elsewhere
+    # 7. pool automata (PoolAutomataJob) — pallas VMEM-resident phases on
+    # TPU at production sizes, XLA half-row path elsewhere.  Kernel choice
+    # is measured (BENCH_HISTORY.md): the half-row PAIR layout with all 4
+    # phases of a water step fused per launch, statically unrolled, at
+    # block 128 — 12.0 ms vs 17.1 ms (per-phase pair) vs 25–30 ms (the
+    # diagonal-quadrant variants, which halve elementwise work but don't
+    # pay on Mosaic) per ×10 call at 2048².
     import jax as _jax
 
     if _jax.default_backend() == "tpu" and res % 256 == 0:
-        from .pool_pallas import pool_automata_pallas_quad
+        from .pool_pallas import pool_automata_pallas_pair_fused
 
-        pool, drains = pool_automata_pallas_quad(
+        pool, drains = pool_automata_pallas_pair_fused(
             world.height,
             world.pool,
             iterations=settings.WATER_STEPS,
             drain_particles=behavior != ErosionMode.ONLY_FLOW_WATER,
+            block=128,
+            phases_per_launch=4,
+            unroll=True,
         )
     else:
         pool, drains = pool_automata(

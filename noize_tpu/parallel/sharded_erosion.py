@@ -412,3 +412,96 @@ def sharded_erosion_cycle(mesh: Mesh, state: SimState,
     drain_water = drain_water + drains
 
     return SimState(world=world, drain_water=drain_water, key=key)
+
+
+def sharded_tile_step(mesh: Mesh, meta: TileSetMeta,
+                      settings: ErosionSettings, xpos, zpos, key, *,
+                      noise_type: str = "Simplex", octaves: int = 13,
+                      hurst: float = 0.4, noise_size: float = 1700.0,
+                      blur_width: int = 5, blur_sigma: float = 1.0,
+                      blur_iterations: int = 17, flow_iterations: int = 8,
+                      erosion_cycles: int = None, chunk: int = 8):
+    """The flagship tile step (app.flagship.make_tile_step) on ONE grid
+    sharded P('x','y') over the mesh: sharded fractal noise → Gauss chain →
+    flow map → N sharded erosion cycles.  Returns the final SimState plus
+    the flow-velocity field, all sharded.
+
+    This is the sp scale-out path: a 16k² world is one call on a 64-chip
+    mesh, with every stage exchanging exactly its stencil halo over ICI —
+    no margin recompute, no seam stitching (SURVEY.md §2.7)."""
+    from ..erosion.sim import init_state
+    from .sharded_ops import (sharded_flow_map, sharded_fractal,
+                              sharded_gauss_blur)
+
+    res = meta.generator_res
+    cycles = settings.CYCLES if erosion_cycles is None else erosion_cycles
+    h = sharded_fractal(
+        mesh, res, xpos, zpos, noise_type=noise_type, octaves=octaves,
+        hurst=hurst, noise_size=noise_size)
+    h = sharded_gauss_blur(mesh, h, blur_width, blur_sigma,
+                           iterations=blur_iterations)
+    flow_v = sharded_flow_map(mesh, h, iterations=flow_iterations)
+    state = init_state(h, key)
+    for _ in range(cycles):
+        state = sharded_erosion_cycle(mesh, state, settings, meta,
+                                      chunk=chunk)
+    return state, flow_v
+
+
+class ShardedErosionSim:
+    """ErosionSim's host-driver surface (erosion.sim.ErosionSim) for a
+    spatially-sharded world: step/reset/map views, with all maps living
+    sharded P('x','y') on the mesh."""
+
+    def __init__(self, mesh: Mesh, height, settings: ErosionSettings = None,
+                 meta: TileSetMeta = None, seed: int = 0, chunk: int = 8):
+        from ..erosion.sim import init_state
+        from .device_mesh import field_sharding
+
+        self.mesh = mesh
+        self.chunk = chunk
+        self.settings = settings or ErosionSettings()
+        res = int(height.shape[0])
+        self.meta = meta or TileSetMeta(
+            tile_res=res, tile_size=res, generator_res=res, height=1000,
+            margin=0)
+        sharded = jax.device_put(jnp.asarray(height, _F32),
+                                 field_sharding(mesh))
+        self.original_height = sharded
+        self.state = init_state(sharded, jax.random.PRNGKey(seed))
+        self.cycle_count = 0
+
+    @property
+    def height_map(self):
+        return self.state.world.height
+
+    @property
+    def pool_map(self):
+        return self.state.world.pool
+
+    @property
+    def stream_map(self):
+        return self.state.world.flow
+
+    def step(self, cycles: int = None):
+        n = self.settings.CYCLES if cycles is None else cycles
+        for _ in range(n):
+            self.state = sharded_erosion_cycle(
+                self.mesh, self.state, self.settings, self.meta,
+                chunk=self.chunk)
+            self.cycle_count += 1
+        return self.state
+
+    def reset_land(self):
+        from ..erosion.sim import init_state
+
+        self.state = init_state(self.original_height, self.state.key)
+
+    def reset_water(self):
+        w = self.state.world
+        z = jnp.zeros_like(w.pool)
+        self.state = replace(
+            self.state,
+            world=replace(w, pool=z, flow=z, track=z),
+            drain_water=jnp.zeros_like(self.state.drain_water),
+        )

@@ -105,3 +105,25 @@ def device_trace(outdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def stage_cost(fn, *args, **kwargs) -> dict:
+    """Per-call XLA cost analysis of a stage function: flops, bytes
+    accessed, and arithmetic intensity (flops/byte).
+
+    The tunnel-compatible substitute for jax.profiler device traces
+    (jax.profiler cannot trace through the remote-device tunnel —
+    SURVEY.md §5 tracing row): compilation metadata travels with the
+    executable, so this works wherever jit does.  Use it to attribute
+    HBM-bandwidth vs compute-bound behavior per stage."""
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    flops = float(ca.get("flops", 0.0))
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
+    return {
+        "flops": flops,
+        "bytes_accessed": bytes_acc,
+        "arithmetic_intensity": flops / bytes_acc if bytes_acc else 0.0,
+    }

@@ -243,3 +243,16 @@ class TestHelpers:
         b.y = 5
         out = H.copy_props(a, b)
         assert out.x == 1 and out.y == 5
+
+
+def test_stage_cost_analysis():
+    """stage_cost reports flops/bytes for a jitted stage (SURVEY §5 tracing:
+    the tunnel-compatible substitute for device traces)."""
+    import jax.numpy as jnp
+    from noize_tpu.utils.tracking import stage_cost
+    from noize_tpu.ops import kernels as K
+
+    c = stage_cost(lambda a: K.sobel2d(a), jnp.ones((64, 64), jnp.float32))
+    assert c["flops"] > 0
+    assert c["bytes_accessed"] > 0
+    assert c["arithmetic_intensity"] > 0

@@ -113,6 +113,27 @@ class TestPoolPallas:
         np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
         np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
 
+    def test_fused_pair_kernel_matches_xla_path(self):
+        """Multi-phase-fused pair kernel: bit-exact pools AND drains across
+        launch boundaries, for 1/2/4 phases per launch."""
+        from jax.experimental.pallas import tpu as pltpu
+        from noize_tpu.erosion import pool as PO
+        from noize_tpu.erosion import pool_pallas as PP
+
+        res = 32
+        rng = np.random.default_rng(31)
+        h = jnp.asarray(rng.uniform(0, 0.5, (res, res)).astype(np.float32))
+        p = jnp.asarray(
+            (rng.uniform(-0.05, 0.05, (res, res))).clip(0).astype(np.float32))
+        wp, wd = PO.pool_automata(h, p, iterations=2, drain_particles=True)
+        with pltpu.force_tpu_interpret_mode():
+            for ppl, unroll in ((1, True), (4, False)):
+                gp, gd = PP.pool_automata_pallas_pair_fused(
+                    h, p, iterations=2, drain_particles=True, block=8,
+                    phases_per_launch=ppl, unroll=unroll)
+                np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
+                np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
+
     def test_pair_kernel_sparse_water(self):
         """Sparse water (the production shape — pools sit in basins):
         results must match the XLA path exactly."""

@@ -317,3 +317,50 @@ class TestShardedErosionCycle:
             mesh, jax.device_put(jnp.asarray(h), sh),
             jax.device_put(jnp.asarray(sed), sh), params, 500.0)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_sharded_tile_step_matches_flagship(self, mesh):
+        """sharded_tile_step (noise→blur→flow→erosion on the sharded field)
+        equals the single-device flagship composition within D8 tolerance."""
+        from noize_tpu.app.flagship import make_tile_step
+        from noize_tpu.erosion.params import ErosionSettings
+        from noize_tpu.parallel.sharded_erosion import sharded_tile_step
+
+        res = 32
+        meta = TileSetMeta(tile_res=res, tile_size=res, generator_res=res,
+                           height=500, margin=0)
+        st = ErosionSettings(PARTICLES_PER_CYCLE=24, MAXAGE=6, WATER_STEPS=2,
+                             CYCLES=1, PILING_RADIUS=4)
+        state, fv = sharded_tile_step(
+            mesh, meta, st, 0.0, 0.0, jax.random.PRNGKey(0),
+            octaves=3, blur_iterations=2, flow_iterations=2, chunk=4)
+        step, _, _ = make_tile_step(
+            meta, st, octaves=3, blur_iterations=2, flow_iterations=2,
+            erosion_cycles=1, emit_mesh=False)
+        out = step(np.float32(0.0), np.float32(0.0), jax.random.PRNGKey(0))
+        np.testing.assert_allclose(
+            np.asarray(state.world.height), np.asarray(out["height"]),
+            atol=5e-6)
+        np.testing.assert_allclose(
+            np.asarray(fv), np.asarray(out["flow_velocity"]), atol=1e-5)
+
+    def test_sharded_sim_driver(self, mesh):
+        """ShardedErosionSim mirrors the ErosionSim surface."""
+        from noize_tpu.erosion.params import ErosionSettings
+        from noize_tpu.parallel.sharded_erosion import ShardedErosionSim
+
+        rng = np.random.default_rng(23)
+        h = rng.uniform(0.2, 0.8, (32, 32)).astype(np.float32)
+        sim = ShardedErosionSim(
+            mesh, h,
+            settings=ErosionSettings(PARTICLES_PER_CYCLE=16, MAXAGE=4,
+                                     WATER_STEPS=2, CYCLES=1,
+                                     PILING_RADIUS=4),
+            chunk=4)
+        sim.step(1)
+        assert np.isfinite(np.asarray(sim.height_map)).all()
+        assert sim.cycle_count == 1
+        sim.reset_water()
+        assert float(np.asarray(sim.pool_map).sum()) == 0.0
+        sim.reset_land()
+        np.testing.assert_array_equal(
+            np.asarray(sim.height_map), h)
