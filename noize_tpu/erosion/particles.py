@@ -141,6 +141,45 @@ def _gather_step_values(combo, row_i, col_i, res, with_plants=False,
     return nb, vals[8 * n:9 * n], vals[9 * n:10 * n], plants_here
 
 
+def _gather_step_values_wf(combo, row_i, col_i, res, fhc, with_plants=False,
+                           origin=None, shape=None):
+    """_gather_step_values from a TWO-map table ``[wih, flow]`` (+plants):
+    neighbor all-heights are recomputed post-gather as
+    ``wih + FLOW_HEIGHT_CONTRIBUTION·flow`` — the identical elementwise f32
+    ops the precomputed all_h map applies, so results are bit-exact while
+    the gather's source table shrinks by a third (the TPU gather's cost
+    has a table-bytes component — see BENCH_HISTORY.md).
+
+    Gathers 18 (+1) values per particle: 8 neighbor wih + 8 neighbor flow
+    + center wih + center flow (+ center plants)."""
+    n = row_i.shape[0]
+    if shape is None:
+        o_r = o_c = 0
+        rows_w, cols_w = res, res
+    else:
+        o_r, o_c = origin
+        rows_w, cols_w = shape
+    sz = rows_w * cols_w
+    r = jnp.clip(row_i[:, None] + jnp.asarray(_NB_DR)[None, :], 0, res - 1) - o_r
+    c = jnp.clip(col_i[:, None] + jnp.asarray(_NB_DC)[None, :], 0, res - 1) - o_c
+    nb_flat = (r * cols_w + c).reshape(-1)
+    center = (row_i - o_r) * cols_w + (col_i - o_c)
+    parts = [
+        nb_flat,            # wih at the 8 neighbors
+        nb_flat + sz,       # flow at the 8 neighbors
+        center,             # wih at the particle
+        center + sz,        # flow at the particle
+    ]
+    if with_plants:
+        parts.append(center + 2 * sz)
+    vals = jnp.take(combo, jnp.concatenate(parts))
+    wih_nb = vals[:8 * n].reshape(n, 8)
+    flow_nb = vals[8 * n:16 * n].reshape(n, 8)
+    nb = _quantize(wih_nb + fhc * flow_nb)
+    plants_here = vals[18 * n:] if with_plants else None
+    return nb, vals[16 * n:17 * n], vals[17 * n:18 * n], plants_here
+
+
 def _gather_patches(combo, row_i, col_i, res: int, k: int):
     """Patch prefetch: one gather fetching a (2k+1)² window of all three
     maps around each particle.  A TPU gather has a large fixed cost, so
@@ -226,7 +265,8 @@ def _downhill_velocity_gain(v_diff, eff_friction, gravity, patch_res):
 
 def descend_step(p: Particles, state: WorldState, params, height_scale,
                  patch_res, res: int, maps=None, patch_ctx=None,
-                 window_origin=None, window_shape=None):
+                 window_origin=None, window_shape=None,
+                 table_layout: str = "waf"):
     """One DescendSimultaneous step for every particle.
 
     Returns (new_particles, events) where events is a dict of per-particle
@@ -276,6 +316,12 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
             patch_ctx, row_i, col_i, res
         )
         plants_here = None
+    elif table_layout == "wf":
+        nb, current_h, flow_here, plants_here = _gather_step_values_wf(
+            combo, row_i, col_i, res, params.FLOW_HEIGHT_CONTRIBUTION,
+            with_plants=with_plants,
+            origin=window_origin, shape=window_shape,
+        )
     else:
         nb, current_h, flow_here, plants_here = _gather_step_values(
             combo, row_i, col_i, res, with_plants=with_plants,
@@ -398,7 +444,8 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
 
 def descend_all(p: Particles, state: WorldState, params, height_scale,
                 patch_res, res: int, max_steps: int = None,
-                chunk: int = 8, patch_k: int = 0):
+                chunk: int = 8, patch_k: int = 0,
+                table_layout: str = "wf"):
     """Run the full descent loop; returns accumulated event maps.
 
     The reference loop runs until every particle dies; the age cap MAXAGE
@@ -433,15 +480,25 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
     # world maps are invariant across the descent — compute once, not per
     # scan step (the dominant cost at production resolutions otherwise)
     wih_map = height_scale * (state.height + state.pool)
-    all_h = wih_map + params.FLOW_HEIGHT_CONTRIBUTION * state.flow
-    pieces = [wih_map.reshape(-1), all_h.reshape(-1), state.flow.reshape(-1)]
+    if patch_k > 0:
+        table_layout = "waf"  # patch path serves from the 3-map layout
+    if table_layout == "wf":
+        # two-map table: neighbor all-heights recomputed post-gather
+        # (bit-exact — see _gather_step_values_wf); the smaller source
+        # table cuts the per-step gather's table-bytes cost
+        pieces = [wih_map.reshape(-1), state.flow.reshape(-1)]
+    else:
+        all_h = wih_map + params.FLOW_HEIGHT_CONTRIBUTION * state.flow
+        pieces = [wih_map.reshape(-1), all_h.reshape(-1),
+                  state.flow.reshape(-1)]
     if with_plants:
         pieces.append(state.plants.reshape(-1))
     maps = jnp.concatenate(pieces)
 
     def step_body_gather(part, _):
         part, ev = descend_step(
-            part, state, params, height_scale, patch_res, res, maps=maps
+            part, state, params, height_scale, patch_res, res, maps=maps,
+            table_layout=table_layout,
         )
         flat = (ev["row"] * res + ev["col"]).astype(jnp.int32)
         return part, (flat, ev["d_track"], ev["d_pool"], ev["d_sed"])

@@ -560,3 +560,33 @@ class TestHalfRowPhase:
                     np.testing.assert_allclose(
                         np.asarray(gd), np.asarray(wd), atol=1e-6,
                         err_msg=f"drain x{xoff} z{zoff} dp={dp}")
+
+
+def test_descend_table_layouts_bit_exact():
+    """The two-map gather table ('wf': all-heights recomputed post-gather)
+    must be bit-exact with the three-map layout ('waf')."""
+    import dataclasses
+    from noize_tpu.erosion import particles as PART
+    from noize_tpu.erosion.world import WorldState
+    from noize_tpu.erosion.params import ErosionSettings
+
+    rng = np.random.default_rng(41)
+    res = 48
+    h = jnp.asarray(rng.uniform(0, 1, (res, res)).astype(np.float32))
+    w = WorldState.create(h)
+    w = dataclasses.replace(
+        w,
+        flow=jnp.asarray(rng.uniform(0, 1, (res, res)).astype(np.float32)),
+        pool=jnp.asarray(
+            (rng.uniform(-0.5, 0.2, (res, res))).clip(0).astype(np.float32)),
+    )
+    params = ErosionSettings(MAXAGE=24).as_parameters()
+    parts = PART.spawn(jax.random.PRNGKey(1), 64, res)
+    outs = {}
+    for layout in ("waf", "wf"):
+        p, t, pl, s = PART.descend_all(
+            parts, w, params, 500.0, 1.0, res, table_layout=layout)
+        outs[layout] = (np.asarray(p.row), np.asarray(p.vel), np.asarray(t),
+                        np.asarray(pl), np.asarray(s))
+    for a, b in zip(outs["waf"], outs["wf"]):
+        np.testing.assert_array_equal(a, b)
