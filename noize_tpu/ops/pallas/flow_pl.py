@@ -96,6 +96,100 @@ def _iteration_call(height_pad, water, fw, fe, fs, fn, res: int, block: int):
     return outs
 
 
+def _fused_flow_call(height_pad, res: int, iterations: int, norm_min,
+                     norm_max, block: int, halo: int):
+    """ONE launch for the whole flow map: water/flows initialized in-kernel,
+    ``iterations`` relaxation iterations + velocity + normalize all
+    VMEM-resident per row block — the only HBM traffic is one height
+    window in and one velocity block out.
+
+    Validity shrinks 2 rows per iteration per side (+1 for the velocity
+    stencil), so ``halo`` ≥ 2·iterations + 1; global-border blocks instead
+    re-replicate the border row across the ghost margin after each
+    sub-step, reproducing the clamped-index reads exactly (see
+    _iteration_call's boundary note)."""
+    nblk = res // block
+    w = block + 2 * halo
+    rng_ = norm_max - norm_min
+
+    def kernel(h_hbm, vo, h_s, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            h_hbm.at[pl.ds(i * block, w), :], h_s, sem
+        )
+        cp.start()
+        cp.wait()
+        h = h_s[:]
+
+        is_top = i == 0
+        is_bot = i == nblk - 1
+        row = jax.lax.broadcasted_iota(jnp.int32, (w, res), 0)
+        lo = halo
+        hi = halo + block - 1
+
+        def reclamp(a):
+            a = jnp.where(is_top & (row < lo), a[lo:lo + 1, :], a)
+            a = jnp.where(is_bot & (row > hi), a[hi:hi + 1, :], a)
+            return a
+
+        wtr = jnp.full((w, res), _flow.WATER_INIT, _F32)
+        fw = fe = fs = fn = jnp.zeros((w, res), _F32)
+        for _ in range(iterations):
+            fw, fe, fs, fn = _flow.compute_flow_step(h, wtr, fw, fe, fs, fn)
+            fw, fe, fs, fn = (reclamp(a) for a in (fw, fe, fs, fn))
+            wtr = reclamp(_flow.update_water_step(wtr, fw, fe, fs, fn))
+
+        v = _flow.velocity_field(fw, fe, fs, fn)
+        v = jnp.where(rng_ < 1e-12, jnp.zeros_like(v), v)
+        v = (v - norm_min) / rng_
+        vo[:] = v[lo:lo + block, :]
+
+    out_spec = pl.BlockSpec((block, res), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((res, res), _F32),
+        scratch_shapes=[
+            pltpu.VMEM((w, res), _F32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(height_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "block"))
+def flow_map_fused(height, iterations: int = 5, norm_min=-0.1,
+                   norm_max=0.1, block: int = None):
+    """ops.flow.flow_map as ONE pallas launch (bit-exact; tested).
+
+    The XLA scan pays a large fixed cost (~8 ms at 2048² regardless of
+    iteration count — see bench_results phase table); here height is read
+    once, everything iterates in VMEM, and one velocity map comes back."""
+    res = height.shape[0]
+    halo = max(-(-(2 * iterations + 1) // 4) * 4, 4)
+    if block is None:
+        block = next(
+            b for b in (256, 128, 64, 32, 16, 8)
+            if res % b == 0 and b >= halo
+        )
+    assert block >= halo, (block, halo)
+    hp = jnp.concatenate(
+        [
+            jnp.broadcast_to(height[:1, :], (halo,) + height.shape[1:]),
+            height,
+            jnp.broadcast_to(height[-1:, :], (halo,) + height.shape[1:]),
+        ],
+        axis=0,
+    )
+    return _fused_flow_call(hp, res, iterations, norm_min, norm_max,
+                            block, halo)
+
+
 def _pad(a):
     return jnp.concatenate(
         [

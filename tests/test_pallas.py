@@ -113,6 +113,23 @@ class TestPoolPallas:
         np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
         np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
 
+    def test_fused_flow_map_matches_xla_path(self):
+        """Single-launch flow kernel (init + iterations + velocity +
+        normalize all in VMEM) must equal ops.flow.flow_map bit-for-bit,
+        including the clamped-border ghost reclamping."""
+        from jax.experimental.pallas import tpu as pltpu
+        from noize_tpu.ops import flow as FL
+        from noize_tpu.ops.pallas import flow_pl as FP
+
+        rng = np.random.default_rng(33)
+        for res, iters, block in ((64, 2, 16), (128, 3, 32)):
+            h = jnp.asarray(rng.uniform(0, 1, (res, res)).astype(np.float32))
+            want = np.asarray(FL.flow_map(h, iterations=iters))
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(
+                    FP.flow_map_fused(h, iterations=iters, block=block))
+            np.testing.assert_array_equal(got, want)
+
     def test_fused_pair_kernel_matches_xla_path(self):
         """Multi-phase-fused pair kernel: bit-exact pools AND drains across
         launch boundaries, for 1/2/4 phases per launch."""
