@@ -53,7 +53,32 @@ def _time_fn_pipelined(fn, *args, reps: int = 5, warmup: int = 2):
     return (time.perf_counter() - t0) * 1e3 / reps
 
 
-def _time_chained(body_fn, reps: int = 4, rtt_ms: float = 28.0,
+_RTT_MS = None
+
+
+def _measure_rtt():
+    """Live dispatch round-trip estimate: minimum wall time of a trivial
+    scalar computation (the op itself is ~µs, so min(wall) ≈ RTT).  The
+    tunnel RTT drifts 28–70 ms with load; using a stale constant biases
+    every chained measurement by (error / reps)."""
+    global _RTT_MS
+    if _RTT_MS is not None:
+        return _RTT_MS
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    float(f(jnp.float32(0.0)))  # compile
+    walls = []
+    for i in range(7):
+        t0 = time.perf_counter()
+        float(f(jnp.float32(i)))
+        walls.append((time.perf_counter() - t0) * 1e3)
+    _RTT_MS = max(min(walls), 1.0)
+    return _RTT_MS
+
+
+def _time_chained(body_fn, reps: int = 4, rtt_ms: float = None,
                   with_cost: bool = False):
     """Ground-truth device timing: scan ``reps`` executions of ``body_fn``
     (key -> scalar) inside one jit, read back the 4-byte total, subtract one
@@ -88,10 +113,16 @@ def _time_chained(body_fn, reps: int = 4, rtt_ms: float = 28.0,
             }
         except Exception as e:  # cost analysis is best-effort
             cost = {"error": f"{type(e).__name__}: {e}"[:120]}
+    if rtt_ms is None:
+        rtt_ms = _measure_rtt()
     float(compiled(jax.random.PRNGKey(11)))  # warmup
-    t0 = time.perf_counter()
-    float(compiled(jax.random.PRNGKey(12)))
-    wall = (time.perf_counter() - t0) * 1e3
+    # two timed runs, take the MIN (tunnel RTT spikes only add)
+    walls = []
+    for seed in (12, 13):
+        t0 = time.perf_counter()
+        float(compiled(jax.random.PRNGKey(seed)))
+        walls.append((time.perf_counter() - t0) * 1e3)
+    wall = min(walls)
     ms = max(wall - rtt_ms, wall * 0.2) / reps
     if with_cost:
         return ms, cost
@@ -305,6 +336,10 @@ def main():
         _phase("pool_automata_x10_pallas_quad", pool_body(
             lambda h, p: POOLP.pool_automata_pallas_quad(
                 h, p, iterations=es_b.WATER_STEPS, drain_particles=True)))
+        _phase("pool_automata_x10_pair_fused", pool_body(
+            lambda h, p: POOLP.pool_automata_pallas_pair_fused(
+                h, p, iterations=es_b.WATER_STEPS, drain_particles=True,
+                block=128, phases_per_launch=4, unroll=True)))
         # sparse water — the production shape (pools sit in basins)
         pool_sp = jnp.zeros_like(hb).at[rb // 2:rb // 2 + rb // 8, :].set(1e-3)
 
@@ -366,9 +401,14 @@ def main():
     _phase("mesh", mesh_body)
     if jax.default_backend() == "tpu":
         from noize_tpu.ops.pallas import stencil as PSM
+        from noize_tpu.ops.pallas import flow_pl as PFL
 
         _phase("blur_x17_pallas",
                lambda k: PSM.gauss_chain(hb + _eps(k), 5, 1.0, 17).sum(),
+               cells=cells_b)
+        _phase("flow_x8_fused",
+               lambda k: PFL.flow_map_fused(
+                   hb + _eps(k), iterations=8, block=128).sum(),
                cells=cells_b)
     results["phase_breakdown"] = phases
 
@@ -454,7 +494,7 @@ def main():
         # scalar output (4-byte readback).  Readiness signals and bulk
         # readback through the device tunnel are unreliable/slow, so this
         # is the number to trust: (wall - one dispatch RTT) / K.
-        K = 3
+        K = 4
 
         @jax.jit
         def chained(key):
@@ -474,10 +514,13 @@ def main():
             return total
 
         float(chained(jax.random.PRNGKey(1)))  # warmup
-        t0 = time.perf_counter()
-        float(chained(jax.random.PRNGKey(2)))
-        wall = (time.perf_counter() - t0) * 1e3
-        rtt = 28.0
+        walls = []
+        for seed in (2, 3):
+            t0 = time.perf_counter()
+            float(chained(jax.random.PRNGKey(seed)))
+            walls.append((time.perf_counter() - t0) * 1e3)
+        wall = min(walls)
+        rtt = _measure_rtt()
         ms = max(wall - rtt, wall * 0.5) / K
         results["flagship_2048"] = {
             "ms": ms, "chained_wall_ms": wall, "chained_steps": K,

@@ -75,9 +75,15 @@ def make_tile_step(
             noise_size=noise_size,
         )
         h = _blur_chain(h, 5, 1.0, blur_iterations)
-        # measured: XLA fuses the flow relaxation well (6.9 ms vs 8.0 ms
-        # for the pallas iteration kernel at 2048²) — keep the XLA path
-        flow_v = _flow.flow_map(h, iterations=flow_iterations)
+        # single-launch fused pallas flow on TPU (1.1 ms vs ~3-9 ms XLA at
+        # 2048², bit-exact); XLA scan elsewhere
+        if (jax.default_backend() == "tpu" and res % 128 == 0
+                and 2 * flow_iterations + 1 <= 128):
+            from ..ops.pallas.flow_pl import flow_map_fused
+
+            flow_v = flow_map_fused(h, iterations=flow_iterations, block=128)
+        else:
+            flow_v = _flow.flow_map(h, iterations=flow_iterations)
         state = init_state(h, key)
         for _ in range(erosion_cycles):
             state = erosion_cycle(state, settings, meta)

@@ -445,7 +445,7 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
 def descend_all(p: Particles, state: WorldState, params, height_scale,
                 patch_res, res: int, max_steps: int = None,
                 chunk: int = 8, patch_k: int = 0,
-                table_layout: str = "wf"):
+                table_layout: str = "waf"):
     """Run the full descent loop; returns accumulated event maps.
 
     The reference loop runs until every particle dies; the age cap MAXAGE
@@ -484,8 +484,9 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
         table_layout = "waf"  # patch path serves from the 3-map layout
     if table_layout == "wf":
         # two-map table: neighbor all-heights recomputed post-gather
-        # (bit-exact — see _gather_step_values_wf); the smaller source
-        # table cuts the per-step gather's table-bytes cost
+        # (bit-exact — see _gather_step_values_wf).  Measured on v5e the
+        # extra 8 gathered values outweigh the smaller table (18.7 vs
+        # 16.1 ms per 1000×101 descent) — kept opt-in, not default
         pieces = [wih_map.reshape(-1), state.flow.reshape(-1)]
     else:
         all_h = wih_map + params.FLOW_HEIGHT_CONTRIBUTION * state.flow

