@@ -445,7 +445,7 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
 def descend_all(p: Particles, state: WorldState, params, height_scale,
                 patch_res, res: int, max_steps: int = None,
                 chunk: int = 8, patch_k: int = 0,
-                table_layout: str = "waf"):
+                table_layout: str = "waf", scatter: str = "chunk"):
     """Run the full descent loop; returns accumulated event maps.
 
     The reference loop runs until every particle dies; the age cap MAXAGE
@@ -521,8 +521,7 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
 
         return jax.lax.scan(body, part, None, length=patch_k)
 
-    def chunk_body(carry):
-        part, track, pool_, sed, k = carry
+    def run_chunk(part):
         if use_patches:
             outs = []
             for _ in range(chunk // patch_k):
@@ -535,20 +534,56 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
             part, (idx, dt, dp_, ds) = jax.lax.scan(
                 step_body_gather, part, None, length=chunk
             )
-        idx = idx.reshape(-1)
-        track = track.at[idx].add(dt.reshape(-1))
-        pool_ = pool_.at[idx].add(dp_.reshape(-1))
-        sed = sed.at[idx].add(ds.reshape(-1))
-        return part, track, pool_, sed, k + 1
+        return part, idx.reshape(-1), dt.reshape(-1), dp_.reshape(-1), ds.reshape(-1)
 
-    def chunk_cond(carry):
-        part, _, _, _, k = carry
-        return (k < n_chunks) & jnp.any(part.alive)
+    if scatter == "end":
+        # Defer all event scatters to ONE scatter-add per map after the
+        # loop: per-chunk events land in preallocated (n_chunks, chunk·N)
+        # slots, ordered exactly as the per-chunk scatters would apply
+        # them, so duplicate-cell accumulation order (and hence f32 sums)
+        # is unchanged.  Unfilled trailing chunks (early exit) keep
+        # idx 0 / delta 0 — scatter-adding 0.0 is a no-op.
+        n = p.row.shape[0]
+        span = chunk * n
 
-    p, track_acc, pool_acc, sed_acc, _ = jax.lax.while_loop(
-        chunk_cond, chunk_body,
-        (p, zeros, zeros, zeros, jnp.int32(0)),
-    )
+        def chunk_body(carry):
+            part, bidx, bdt, bdp, bds, k = carry
+            part, idx, dt, dp_, ds = run_chunk(part)
+            off = k * span
+            bidx = jax.lax.dynamic_update_slice(bidx, idx, (off,))
+            bdt = jax.lax.dynamic_update_slice(bdt, dt, (off,))
+            bdp = jax.lax.dynamic_update_slice(bdp, dp_, (off,))
+            bds = jax.lax.dynamic_update_slice(bds, ds, (off,))
+            return part, bidx, bdt, bdp, bds, k + 1
+
+        def chunk_cond(carry):
+            return (carry[5] < n_chunks) & jnp.any(carry[0].alive)
+
+        zi = jnp.zeros(n_chunks * span, jnp.int32)
+        zf = jnp.zeros(n_chunks * span, _F32)
+        p, bidx, bdt, bdp, bds, _ = jax.lax.while_loop(
+            chunk_cond, chunk_body, (p, zi, zf, zf, zf, jnp.int32(0))
+        )
+        track_acc = zeros.at[bidx].add(bdt)
+        pool_acc = zeros.at[bidx].add(bdp)
+        sed_acc = zeros.at[bidx].add(bds)
+    else:
+        def chunk_body(carry):
+            part, track, pool_, sed, k = carry
+            part, idx, dt, dp_, ds = run_chunk(part)
+            track = track.at[idx].add(dt)
+            pool_ = pool_.at[idx].add(dp_)
+            sed = sed.at[idx].add(ds)
+            return part, track, pool_, sed, k + 1
+
+        def chunk_cond(carry):
+            part, _, _, _, k = carry
+            return (k < n_chunks) & jnp.any(part.alive)
+
+        p, track_acc, pool_acc, sed_acc, _ = jax.lax.while_loop(
+            chunk_cond, chunk_body,
+            (p, zeros, zeros, zeros, jnp.int32(0)),
+        )
     return (
         p,
         track_acc.reshape(shape),

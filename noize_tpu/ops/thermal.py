@@ -74,16 +74,21 @@ _PHASE_OFFSETS = ((1, 2), (2, 2), (1, 1), (2, 1))
 
 def _shift(a, dz: int, dx: int):
     """Edge-clamped shift: out[z, x] = a[z+dz, x+dx] (values outside the
-    array never survive the valid-block mask, clamping just keeps shapes)."""
-    h, w = a.shape
+    array never survive the valid-block mask, clamping just keeps shapes).
+    Concat-of-slices, not jnp.pad — Mosaic-safe (pad emits 0-sized vectors
+    pallas rejects), so the phase body can run inside kernels."""
     if dz > 0:
-        a = jnp.pad(a, ((0, dz), (0, 0)), mode="edge")[dz:, :]
+        rep = jnp.broadcast_to(a[-1:, :], (dz,) + a.shape[1:])
+        a = jnp.concatenate([a[dz:, :], rep], axis=0)
     elif dz < 0:
-        a = jnp.pad(a, ((-dz, 0), (0, 0)), mode="edge")[:h, :]
+        rep = jnp.broadcast_to(a[:1, :], (-dz,) + a.shape[1:])
+        a = jnp.concatenate([rep, a[:dz, :]], axis=0)
     if dx > 0:
-        a = jnp.pad(a, ((0, 0), (0, dx)), mode="edge")[:, dx:]
+        rep = jnp.broadcast_to(a[:, -1:], a.shape[:1] + (dx,))
+        a = jnp.concatenate([a[:, dx:], rep], axis=1)
     elif dx < 0:
-        a = jnp.pad(a, ((0, 0), (-dx, 0)), mode="edge")[:, :w]
+        rep = jnp.broadcast_to(a[:, :1], a.shape[:1] + (-dx,))
+        a = jnp.concatenate([rep, a[:, :dx]], axis=1)
     return a
 
 

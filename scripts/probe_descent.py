@@ -31,11 +31,16 @@ def chained(name, body):
     except Exception as e:
         print(json.dumps({"probe": name, "error": str(e)[:160]}), flush=True)
 
-for layout in ("waf", "wf"):
-    def body(k, c, layout=layout):
+VARIANTS = [
+    ("waf chunk8 scatter-chunk", dict()),
+    ("waf chunk8 scatter-end", dict(scatter="end")),
+    ("waf chunk16 scatter-chunk", dict(chunk=16)),
+    ("waf chunk16 scatter-end", dict(chunk=16, scatter="end")),
+]
+for name, kw in VARIANTS:
+    def body(k, c, kw=kw):
         parts = PART.spawn(k, es.PARTICLES_PER_CYCLE, RES)
         w = WorldState.create(h + c * 1e-20)
-        _, t, p_, s = PART.descend_all(parts, w, params, 1000.0, 1.0, RES,
-                                       table_layout=layout)
+        _, t, p_, s = PART.descend_all(parts, w, params, 1000.0, 1.0, RES, **kw)
         return t.sum() + p_.sum() + s.sum()
-    chained(f"descent 1000x101 {layout}", body)
+    chained(f"descent 1000x101 {name}", body)

@@ -590,3 +590,25 @@ def test_descend_table_layouts_bit_exact():
                         np.asarray(pl), np.asarray(s))
     for a, b in zip(outs["waf"], outs["wf"]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_descend_scatter_modes_bit_exact():
+    """Deferred single-scatter event reduction ('end') must equal the
+    per-chunk scatter exactly (same per-cell f32 accumulation order)."""
+    import dataclasses
+    from noize_tpu.erosion import particles as PART
+    from noize_tpu.erosion.world import WorldState
+    from noize_tpu.erosion.params import ErosionSettings
+
+    rng = np.random.default_rng(43)
+    res = 48
+    h = jnp.asarray(rng.uniform(0, 1, (res, res)).astype(np.float32))
+    w = WorldState.create(h)
+    w = dataclasses.replace(
+        w, flow=jnp.asarray(rng.uniform(0, 1, (res, res)).astype(np.float32)))
+    params = ErosionSettings(MAXAGE=24).as_parameters()
+    parts = PART.spawn(jax.random.PRNGKey(3), 64, res)
+    a = PART.descend_all(parts, w, params, 500.0, 1.0, res, scatter="chunk")
+    b = PART.descend_all(parts, w, params, 500.0, 1.0, res, scatter="end")
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
