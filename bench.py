@@ -53,29 +53,28 @@ def _time_fn_pipelined(fn, *args, reps: int = 5, warmup: int = 2):
     return (time.perf_counter() - t0) * 1e3 / reps
 
 
-_RTT_MS = None
+_RTT_F = None
 
 
-def _measure_rtt():
+def _measure_rtt(pings: int = 5):
     """Live dispatch round-trip estimate: minimum wall time of a trivial
     scalar computation (the op itself is ~µs, so min(wall) ≈ RTT).  The
-    tunnel RTT drifts 28–70 ms with load; using a stale constant biases
-    every chained measurement by (error / reps)."""
-    global _RTT_MS
-    if _RTT_MS is not None:
-        return _RTT_MS
+    tunnel RTT drifts 28–70 ms with load, so each timed entry measures its
+    own contemporaneous RTT — a stale value biases the entry by
+    (error / reps)."""
+    global _RTT_F
     import jax
     import jax.numpy as jnp
 
-    f = jax.jit(lambda x: x + 1.0)
-    float(f(jnp.float32(0.0)))  # compile
+    if _RTT_F is None:
+        _RTT_F = jax.jit(lambda x: x + 1.0)
+        float(_RTT_F(jnp.float32(0.0)))  # compile once
     walls = []
-    for i in range(7):
+    for i in range(pings):
         t0 = time.perf_counter()
-        float(f(jnp.float32(i)))
+        float(_RTT_F(jnp.float32(i)))
         walls.append((time.perf_counter() - t0) * 1e3)
-    _RTT_MS = max(min(walls), 1.0)
-    return _RTT_MS
+    return max(min(walls), 1.0)
 
 
 def _time_chained(body_fn, reps: int = 4, rtt_ms: float = None,
@@ -113,9 +112,9 @@ def _time_chained(body_fn, reps: int = 4, rtt_ms: float = None,
             }
         except Exception as e:  # cost analysis is best-effort
             cost = {"error": f"{type(e).__name__}: {e}"[:120]}
-    if rtt_ms is None:
-        rtt_ms = _measure_rtt()
     float(compiled(jax.random.PRNGKey(11)))  # warmup
+    if rtt_ms is None:
+        rtt_ms = _measure_rtt()  # contemporaneous with the timed runs
     # two timed runs, take the MIN (tunnel RTT spikes only add)
     walls = []
     for seed in (12, 13):
@@ -261,7 +260,7 @@ def main():
     def _eps(k):
         return jax.random.uniform(k, (), minval=0.0, maxval=1e-9)
 
-    def _phase(name, body, reps=4, cells=None):
+    def _phase(name, body, reps=8, cells=None):
         try:
             ms, cost = _time_chained(body, reps=reps, with_cost=True)
             entry = {"ms": round(ms, 3), "method": "chained"}
@@ -298,7 +297,7 @@ def main():
         out = erosion_cycle(st, es_b, meta_b)
         return out.world.height.sum() + out.world.pool.sum()
 
-    _phase("erosion_cycle", ero_body, reps=3)
+    _phase("erosion_cycle", ero_body, reps=4)
 
     # erosion sub-phases (to target optimization)
     from noize_tpu.erosion import particles as PART
@@ -314,7 +313,7 @@ def main():
             parts, w, params_b, float(meta_b.height), meta_b.patch_res, rb)
         return t.sum() + p_.sum() + s.sum()
 
-    _phase("descent_scan", desc_body, reps=3)
+    _phase("descent_scan", desc_body, reps=4)
 
     pool0 = jnp.zeros_like(hb) + 1e-3
 
@@ -421,7 +420,7 @@ def main():
                             hurst=0.4, noise_size=1700.0))())
         cells = rt * rt
 
-        def tp(name, body, reps=4):
+        def tp(name, body, reps=8):
             try:
                 ms, cost = _time_chained(body, reps=reps, with_cost=True)
                 e = {"ms": round(ms, 3),
@@ -515,7 +514,7 @@ def main():
 
         float(chained(jax.random.PRNGKey(1)))  # warmup
         walls = []
-        for seed in (2, 3):
+        for seed in (2, 3, 4):
             t0 = time.perf_counter()
             float(chained(jax.random.PRNGKey(seed)))
             walls.append((time.perf_counter() - t0) * 1e3)

@@ -445,7 +445,8 @@ def descend_step(p: Particles, state: WorldState, params, height_scale,
 def descend_all(p: Particles, state: WorldState, params, height_scale,
                 patch_res, res: int, max_steps: int = None,
                 chunk: int = 8, patch_k: int = 0,
-                table_layout: str = "waf", scatter: str = "chunk"):
+                table_layout: str = "waf", scatter: str = "chunk",
+                compact: bool = True):
     """Run the full descent loop; returns accumulated event maps.
 
     The reference loop runs until every particle dies; the age cap MAXAGE
@@ -568,22 +569,66 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
         pool_acc = zeros.at[bidx].add(bdp)
         sed_acc = zeros.at[bidx].add(bds)
     else:
-        def chunk_body(carry):
-            part, track, pool_, sed, k = carry
-            part, idx, dt, dp_, ds = run_chunk(part)
-            track = track.at[idx].add(dt)
-            pool_ = pool_.at[idx].add(dp_)
-            sed = sed.at[idx].add(ds)
-            return part, track, pool_, sed, k + 1
+        # Alive-compaction cascade: the descent gather is element-
+        # throughput-bound (~11 cycles/element), so once the live count
+        # fits a narrower buffer, a stable alive-first compaction halves
+        # the per-step gather (and all per-particle math).  Stability
+        # preserves the relative slot order of survivors, so per-cell
+        # scatter accumulation order — and therefore every f32 sum — is
+        # unchanged (dead slots only ever add 0.0).  Levels: N, N/2, N/4.
+        n0 = p.row.shape[0]
+        levels = [n0]
+        for _ in range(2 if compact else 0):
+            nxt = levels[-1] // 2
+            if nxt >= 64 and nxt * 2 == levels[-1]:
+                levels.append(nxt)
+            else:
+                break
 
-        def chunk_cond(carry):
-            part, _, _, _, k = carry
-            return (k < n_chunks) & jnp.any(part.alive)
+        def make_loop(threshold):
+            def chunk_body(carry):
+                part, track, pool_, sed, k = carry
+                part, idx, dt, dp_, ds = run_chunk(part)
+                track = track.at[idx].add(dt)
+                pool_ = pool_.at[idx].add(dp_)
+                sed = sed.at[idx].add(ds)
+                return part, track, pool_, sed, k + 1
 
-        p, track_acc, pool_acc, sed_acc, _ = jax.lax.while_loop(
-            chunk_cond, chunk_body,
-            (p, zeros, zeros, zeros, jnp.int32(0)),
-        )
+            def chunk_cond(carry):
+                part, _, _, _, k = carry
+                return (k < n_chunks) & (
+                    jnp.sum(part.alive.astype(jnp.int32)) > threshold)
+
+            return chunk_cond, chunk_body
+
+        # final particle states return in their ORIGINAL slots: compaction
+        # parks dropped (dead, hence frozen) particles' states and an
+        # inverse permutation restores everything at the end
+        final = Particles(*[jnp.zeros((n0,), f.dtype) for f in p])
+        perm = jnp.arange(n0, dtype=jnp.int32)
+
+        track_acc, pool_acc, sed_acc = zeros, zeros, zeros
+        k = jnp.int32(0)
+        for li, sz in enumerate(levels):
+            last = li == len(levels) - 1
+            threshold = 0 if last else levels[li + 1]
+            cond, body = make_loop(threshold)
+            p, track_acc, pool_acc, sed_acc, k = jax.lax.while_loop(
+                cond, body, (p, track_acc, pool_acc, sed_acc, k)
+            )
+            if not last:
+                m = levels[li + 1]
+                order = jnp.argsort(~p.alive, stable=True)
+                keep, drop = order[:m], order[m:]
+                final = Particles(*[
+                    ff.at[jnp.take(perm, drop)].set(jnp.take(f, drop))
+                    for ff, f in zip(final, p)
+                ])
+                perm = jnp.take(perm, keep)
+                p = Particles(*[jnp.take(f, keep, axis=0) for f in p])
+        p = Particles(*[
+            ff.at[perm].set(f) for ff, f in zip(final, p)
+        ])
     return (
         p,
         track_acc.reshape(shape),

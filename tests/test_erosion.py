@@ -612,3 +612,30 @@ def test_descend_scatter_modes_bit_exact():
     b = PART.descend_all(parts, w, params, 500.0, 1.0, res, scatter="end")
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_descend_compaction_bit_exact():
+    """The alive-compaction cascade (N → N/2 → N/4 particle buffers) must
+    be bit-exact with the fixed-width loop, including final particle
+    states restored to their original slots."""
+    import dataclasses
+    from noize_tpu.erosion import particles as PART
+    from noize_tpu.erosion.world import WorldState
+    from noize_tpu.erosion.params import ErosionSettings
+
+    rng = np.random.default_rng(47)
+    res = 48
+    h = jnp.asarray(rng.uniform(0, 1, (res, res)).astype(np.float32))
+    w = WorldState.create(h)
+    w = dataclasses.replace(
+        w,
+        pool=jnp.asarray(
+            (rng.uniform(-0.3, 0.3, (res, res))).clip(0).astype(np.float32)),
+        flow=jnp.asarray(rng.uniform(0, 1, (res, res)).astype(np.float32)),
+    )
+    params = ErosionSettings(MAXAGE=32).as_parameters()
+    parts = PART.spawn(jax.random.PRNGKey(7), 256, res)
+    a = PART.descend_all(parts, w, params, 500.0, 1.0, res, compact=False)
+    b = PART.descend_all(parts, w, params, 500.0, 1.0, res, compact=True)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
