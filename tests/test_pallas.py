@@ -202,3 +202,27 @@ class TestFlowPallas:
             got = FP.flow_map_pallas(h, iterations=6, block=32)
         want = FL.flow_map(h, iterations=6)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-7)
+
+
+def test_fused_thermal_matches_xla_path():
+    """Fused thermal kernel vs ops.thermal.thermal_erosion.
+
+    1-ulp tolerance: XLA CPU compiles mathematically identical programs
+    with different FMA-contraction decisions depending on fusion context
+    (verified: two plain-XLA jits of the SAME phase chain differ by
+    5.96e-8 on ~1% of cells), so bitwise equality between separately
+    compiled thermal programs is not achievable on the CPU backend."""
+    from jax.experimental.pallas import tpu as pltpu
+    from noize_tpu.ops import thermal as T
+    from noize_tpu.ops.pallas import thermal_pl as TP
+
+    rng = np.random.default_rng(35)
+    for res, iters, block in ((64, 1, 16), (128, 2, 64)):
+        h = jnp.asarray(rng.uniform(0, 1, (res, res)).astype(np.float32))
+        want = np.asarray(T.thermal_erosion(h, 45.0, 0.5, 1.0,
+                                            iterations=iters))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(TP.thermal_erosion_fused(
+                h, 45.0, 0.5, 1.0, iterations=iters, block=block,
+                unroll=False))
+        np.testing.assert_allclose(got, want, atol=2e-7)
