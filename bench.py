@@ -188,10 +188,15 @@ def main():
         lambda: fractal(r3, 0, 0, noise_type="Simplex", octaves=8,
                         hurst=0.4, noise_size=1000.0))())
     def _c3():
+        # the production FlowMapStage path (fused pallas kernel on TPU)
+        from noize_tpu.pipeline.stages import FlowMapStage
+
+        stage = FlowMapStage(iterations=5)
+
         def body(k):
             off = jax.random.uniform(k, ()) * 1e-4
-            return FL.flow_map(h3 + off, iterations=5).sum()
-        return {"ms": _time_chained(body, reps=4)}
+            return stage.array_fn(h3 + off).sum()
+        return {"ms": _time_chained(body, reps=8)}
     _safe(results, "3_flowmap_1024", _c3)
 
     # --- config 4: value erosion + Sobel2D + normalize -----------------------

@@ -125,15 +125,25 @@ def erosion_cycle(state: SimState, settings: ErosionSettings, meta: TileSetMeta)
     world = state.world
     behavior = settings.BEHAVIOR
 
-    # 1. thermal (LiveErosion.cs:384-386)
+    # 1. thermal (LiveErosion.cs:384-386) — fused single-launch pallas
+    # kernel on TPU (1.1 ms vs 2.9 ms XLA at 2048², bit-exact on chip)
     if settings.ENABLE_THERMAL and behavior != ErosionMode.ONLY_FLOW_WATER:
-        new_height = thermal_erosion(
-            world.height,
-            settings.TALUS,
-            settings.THERMAL_STEP,
-            float(meta.tile_size) / float(meta.height),
-            iterations=settings.THERMAL_CYCLES,
-        )
+        import jax as _jax0
+
+        hw_ratio = float(meta.tile_size) / float(meta.height)
+        if (_jax0.default_backend() == "tpu" and res % 128 == 0
+                and 8 * settings.THERMAL_CYCLES <= 128):
+            from ..ops.pallas.thermal_pl import thermal_erosion_fused
+
+            new_height = thermal_erosion_fused(
+                world.height, settings.TALUS, settings.THERMAL_STEP,
+                hw_ratio, iterations=settings.THERMAL_CYCLES, block=128,
+            )
+        else:
+            new_height = thermal_erosion(
+                world.height, settings.TALUS, settings.THERMAL_STEP,
+                hw_ratio, iterations=settings.THERMAL_CYCLES,
+            )
         world = replace(world, height=new_height)
 
     drain_water = state.drain_water

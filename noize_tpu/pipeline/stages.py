@@ -168,6 +168,19 @@ class StageThermalErosion(Stage):
     meshHeightWidthRatio: float = 0.75
 
     def array_fn(self, data, io=None):
+        import jax as _jax
+
+        # fused single-launch pallas kernel on TPU (bit-exact on chip)
+        if (_jax.default_backend() == "tpu" and data.shape[0] % 128 == 0
+                and data.shape[0] == data.shape[1]
+                and 8 * self.iterations <= 128):
+            from ..ops.pallas.thermal_pl import thermal_erosion_fused
+
+            return thermal_erosion_fused(
+                data, float(self.talus), self.increment,
+                self.meshHeightWidthRatio, iterations=self.iterations,
+                block=128,
+            )
         return _thermal.thermal_erosion(
             data, float(self.talus), self.increment,
             self.meshHeightWidthRatio, iterations=self.iterations,
