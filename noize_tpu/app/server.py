@@ -36,9 +36,10 @@ class TileOrder:
 @dataclass
 class ServedTile:
     request: TileRequest
-    heights: object          # f32[R, R] (device array)
+    heights: object          # f32[R, R] (device array); None when error set
     batch_id: int
     latency_ms: float
+    error: object = None     # the batch exception, delivered per order
 
 
 class TileServer:
@@ -146,16 +147,38 @@ class TileServer:
                 for i, order in enumerate(orders):
                     self.served += 1
                     if order.on_complete is not None:
-                        order.on_complete(ServedTile(
-                            request=order.request,
-                            heights=tiles[i],
-                            batch_id=self.batches,
-                            latency_ms=dt,
-                        ))
+                        # one order's raising callback must not starve the
+                        # rest of the batch of their results
+                        try:
+                            order.on_complete(ServedTile(
+                                request=order.request,
+                                heights=tiles[i],
+                                batch_id=self.batches,
+                                latency_ms=dt,
+                            ))
+                        except Exception as e:
+                            self.errors.append(e)
+                            log.exception(
+                                "on_complete raised for tile %s",
+                                order.request.pos)
             except Exception as e:
                 self.errors.append(e)
                 log.exception("TileServer batch failed (%d orders dropped)",
                               len(orders))
+                # deliver the failure per order so waiters unblock instead
+                # of deadlocking on a result that will never arrive
+                for order in orders:
+                    if order.on_complete is not None:
+                        try:
+                            order.on_complete(ServedTile(
+                                request=order.request, heights=None,
+                                batch_id=self.batches, latency_ms=0.0,
+                                error=e,
+                            ))
+                        except Exception:
+                            log.exception(
+                                "on_complete raised for failed tile %s",
+                                order.request.pos)
             finally:
                 # mark every dequeued order done so drain() can't hang on
                 # a failed batch

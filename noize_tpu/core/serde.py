@@ -42,17 +42,35 @@ def _native():
         return None
 
 
+def _fnv1a(data: bytes) -> int:
+    """FNV-1a 64 over the payload — mirrors serde_native.cpp::fnv1a.
+    The hash chain is inherently sequential (xor-then-multiply per byte),
+    so this is a Python loop: ~1-2 s per 16 MB map, acceptable for the
+    exceptional no-toolchain fallback restore where it runs."""
+    h = 1469598103934665603
+    prime = 1099511628211
+    mask = (1 << 64) - 1
+    for b in memoryview(data):
+        h = ((h ^ b) * prime) & mask
+    return h
+
+
 def _numpy_read(path: str, dtype) -> np.ndarray:
     """NumPy fallback read that understands both layouts: raw dumps from
     ``arr.tofile`` AND native-format files (NZTFU header + payload), so a
-    checkpoint written with the C++ pool restores without the toolchain."""
+    checkpoint written with the C++ pool restores without the toolchain.
+    Native payloads are checksum-verified exactly like the C++ reader
+    (rc -4) — a corrupt checkpoint must fail loudly on every machine."""
     with open(path, "rb") as fh:
         head = fh.read(_NATIVE_HEADER_BYTES)
         if len(head) == _NATIVE_HEADER_BYTES and head[:8] == _NATIVE_MAGIC:
             nbytes = int.from_bytes(head[16:24], "little")
+            checksum = int.from_bytes(head[24:32], "little")
             payload = fh.read(nbytes)
             if len(payload) != nbytes:
                 raise IOError(f"truncated native checkpoint: {path}")
+            if _fnv1a(payload) != checksum:
+                raise IOError(f"checksum mismatch in checkpoint: {path}")
             return np.frombuffer(payload, dtype=np.dtype(dtype))
         fh.seek(0)
         return np.fromfile(fh, dtype=np.dtype(dtype))

@@ -157,15 +157,14 @@ class PipelineStateManager:
         for name in self.names():
             with self._mutex:
                 value = self._buffers.get(name)
-            try:
-                arr = np.asarray(value)
-            except Exception:
-                arr = np.asarray(None)
-            if arr.dtype == object or value is None:
+            if value is None or isinstance(value, (list, dict, set, tuple)):
                 continue  # non-array container (lists/dicts/refs) — not saved
+            # no np.asarray probe here: it would materialize every device
+            # array to host a second time (~2 s per 16 MB map over the
+            # tunnel) and a probe failure must surface, not skip silently
             try:
                 self.save_buffer_to_disk(name, async_=async_)
-            except Exception as e:  # disk full, IO error, native failure
+            except Exception as e:  # disk full, IO error, non-array buffer
                 failures[name] = e
         if self.serde is not None and async_:
             try:

@@ -481,8 +481,10 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
     # world maps are invariant across the descent — compute once, not per
     # scan step (the dominant cost at production resolutions otherwise)
     wih_map = height_scale * (state.height + state.pool)
-    if patch_k > 0:
-        table_layout = "waf"  # patch path serves from the 3-map layout
+    if patch_k > 0 and table_layout != "waf":
+        raise ValueError(
+            "patch prefetch serves from the 3-map ('waf') table; "
+            f"got table_layout={table_layout!r} with patch_k={patch_k}")
     if table_layout == "wf":
         # two-map table: neighbor all-heights recomputed post-gather
         # (bit-exact — see _gather_step_values_wf).  Measured on v5e the

@@ -252,14 +252,18 @@ def _fused_quad_call(h_pads, p_pads, d_pads, phase_seq, drain_particles: bool,
         d_refs = refs[8:12]
         outs = refs[12:20]
         scratch = refs[20:32]
-        sem = refs[32]
+        sems = refs[32:44]
         i = pl.program_id(0)
 
-        for src, dst in zip(h_refs + p_refs + d_refs, scratch):
-            cp = pltpu.make_async_copy(
-                src.at[pl.ds(i * block, w), :], dst, sem
-            )
+        # start all 12 copies before waiting on any — overlapped transfers
+        copies = [
+            pltpu.make_async_copy(src.at[pl.ds(i * block, w), :], dst, sem)
+            for src, dst, sem in zip(h_refs + p_refs + d_refs, scratch,
+                                     sems)
+        ]
+        for cp in copies:
             cp.start()
+        for cp in copies:
             cp.wait()
 
         row0 = i * block - halo
@@ -308,7 +312,7 @@ def _fused_quad_call(h_pads, p_pads, d_pads, phase_seq, drain_particles: bool,
             jax.ShapeDtypeStruct((r2, q), _F32) for _ in range(8)
         ),
         scratch_shapes=[pltpu.VMEM((w, q), _F32) for _ in range(12)]
-        + [pltpu.SemaphoreType.DMA],
+        + [pltpu.SemaphoreType.DMA] * 12,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

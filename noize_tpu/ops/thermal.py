@@ -31,6 +31,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .flow import shift_clamped
+
 _PAIRS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))  # a,b,c,d indices
 
 
@@ -72,24 +74,11 @@ def _phase(data, x0, z0, max_diff, increment):
 _PHASE_OFFSETS = ((1, 2), (2, 2), (1, 1), (2, 1))
 
 
-def _shift(a, dz: int, dx: int):
-    """Edge-clamped shift: out[z, x] = a[z+dz, x+dx] (values outside the
-    array never survive the valid-block mask, clamping just keeps shapes).
-    Concat-of-slices, not jnp.pad — Mosaic-safe (pad emits 0-sized vectors
-    pallas rejects), so the phase body can run inside kernels."""
-    if dz > 0:
-        rep = jnp.broadcast_to(a[-1:, :], (dz,) + a.shape[1:])
-        a = jnp.concatenate([a[dz:, :], rep], axis=0)
-    elif dz < 0:
-        rep = jnp.broadcast_to(a[:1, :], (-dz,) + a.shape[1:])
-        a = jnp.concatenate([rep, a[:dz, :]], axis=0)
-    if dx > 0:
-        rep = jnp.broadcast_to(a[:, -1:], a.shape[:1] + (dx,))
-        a = jnp.concatenate([a[:, dx:], rep], axis=1)
-    elif dx < 0:
-        rep = jnp.broadcast_to(a[:, :1], a.shape[:1] + (-dx,))
-        a = jnp.concatenate([rep, a[:, :dx]], axis=1)
-    return a
+# Edge-clamped shift: out[z, x] = a[z+dz, x+dx] (values outside the array
+# never survive the valid-block mask, clamping just keeps shapes).
+# shift_clamped is Mosaic-safe (concat-of-slices), so the phase body can
+# run inside pallas kernels.
+_shift = shift_clamped
 
 
 def thermal_phase_masked(d, x0: int, z0: int, origin_row, origin_col,

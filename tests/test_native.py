@@ -97,3 +97,24 @@ class TestNativeSerde:
             out = native.read_file(str(tmp_path / f"w{i}.data"), np.float32)
             np.testing.assert_array_equal(out, arrays[i])
         native.wait(0)
+
+
+def test_numpy_fallback_rejects_corrupt_payload(tmp_path):
+    """The no-toolchain fallback must verify the NZTFU FNV-1a checksum —
+    a bit-flipped checkpoint fails loudly on EVERY machine (ADVICE r1)."""
+    import pytest
+    from noize_tpu import native
+    from noize_tpu.core.serde import _numpy_read
+
+    if not native.available():
+        pytest.skip("native writer unavailable")
+    a = np.arange(64, dtype=np.float32)
+    p = str(tmp_path / "c.data")
+    native.write_file(p, a)
+    good = _numpy_read(p, np.float32)
+    np.testing.assert_array_equal(good, a)
+    raw = bytearray(open(p, "rb").read())
+    raw[40] ^= 0x10  # flip a payload bit past the 32-byte header
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(IOError):
+        _numpy_read(p, np.float32)
