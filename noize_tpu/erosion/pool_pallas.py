@@ -440,39 +440,45 @@ def pool_automata_pallas_pair_fused(height, pool, iterations: int = 10,
             seqs.append(seq)
     n_variants = len(seqs)
 
-    h_e, h_o = _pool._halfrow_views(height, 0)
-    p_e0, p_o0 = _pool._halfrow_views(pool, 0)
-    hpe, hpo = _padH(h_e, halo), _padH(h_o, halo)
-    d0 = (jnp.zeros_like(p_e0), jnp.zeros_like(p_o0))
+    from ..ops.pallas.batching import sequential_vmap
 
-    def make_launch(seq):
-        def run(c):
-            p_e, p_o, d_e, d_o = c
-            return tuple(_fused_pair_call(
-                hpe, hpo, _padH(p_e, halo), _padH(p_o, halo),
-                _padH(d_e, halo), _padH(d_o, halo),
-                seq, drain_particles, res, block, halo, unroll,
-            ))
-        return run
+    @sequential_vmap
+    def run_all(height, pool):
+        h_e, h_o = _pool._halfrow_views(height, 0)
+        p_e0, p_o0 = _pool._halfrow_views(pool, 0)
+        hpe, hpo = _padH(h_e, halo), _padH(h_o, halo)
+        d0 = (jnp.zeros_like(p_e0), jnp.zeros_like(p_o0))
 
-    launches = [make_launch(seq) for seq in seqs]
+        def make_launch(seq):
+            def run(c):
+                p_e, p_o, d_e, d_o = c
+                return tuple(_fused_pair_call(
+                    hpe, hpo, _padH(p_e, halo), _padH(p_o, halo),
+                    _padH(d_e, halo), _padH(d_o, halo),
+                    seq, drain_particles, res, block, halo, unroll,
+                ))
+            return run
 
-    def step(carry, t):
-        def wet(c):
-            if n_variants == 1:
-                return launches[0](c)
-            return jax.lax.switch(t % n_variants, launches, c)
+        launches = [make_launch(seq) for seq in seqs]
 
-        has_water = jnp.any(carry[0] > 0.0) | jnp.any(carry[1] > 0.0)
-        return jax.lax.cond(has_water, wet, lambda c: c, carry), None
+        def step(carry, t):
+            def wet(c):
+                if n_variants == 1:
+                    return launches[0](c)
+                return jax.lax.switch(t % n_variants, launches, c)
 
-    (p_e, p_o, d_e, d_o), _ = jax.lax.scan(
-        step, (p_e0, p_o0, d0[0], d0[1]),
-        jnp.arange(n_launches, dtype=jnp.int32))
-    return (
-        _pool._halfrow_join(p_e, p_o, 0),
-        _pool._halfrow_join(d_e, d_o, 0),
-    )
+            has_water = jnp.any(carry[0] > 0.0) | jnp.any(carry[1] > 0.0)
+            return jax.lax.cond(has_water, wet, lambda c: c, carry), None
+
+        (p_e, p_o, d_e, d_o), _ = jax.lax.scan(
+            step, (p_e0, p_o0, d0[0], d0[1]),
+            jnp.arange(n_launches, dtype=jnp.int32))
+        return (
+            _pool._halfrow_join(p_e, p_o, 0),
+            _pool._halfrow_join(d_e, d_o, 0),
+        )
+
+    return run_all(height, pool)
 
 
 def _padH(a, h: int):

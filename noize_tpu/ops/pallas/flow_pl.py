@@ -162,7 +162,10 @@ def _fused_flow_call(height_pad, res: int, iterations: int, norm_min,
     )(height_pad)
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "block"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "block", "norm_min", "norm_max"),
+)
 def flow_map_fused(height, iterations: int = 5, norm_min=-0.1,
                    norm_max=0.1, block: int = None):
     """ops.flow.flow_map as ONE pallas launch (bit-exact; tested).
@@ -178,16 +181,22 @@ def flow_map_fused(height, iterations: int = 5, norm_min=-0.1,
             if res % b == 0 and b >= halo
         )
     assert block >= halo, (block, halo)
-    hp = jnp.concatenate(
-        [
-            jnp.broadcast_to(height[:1, :], (halo,) + height.shape[1:]),
-            height,
-            jnp.broadcast_to(height[-1:, :], (halo,) + height.shape[1:]),
-        ],
-        axis=0,
-    )
-    return _fused_flow_call(hp, res, iterations, norm_min, norm_max,
-                            block, halo)
+    from .batching import sequential_vmap
+
+    @sequential_vmap
+    def run(h):
+        hp = jnp.concatenate(
+            [
+                jnp.broadcast_to(h[:1, :], (halo,) + h.shape[1:]),
+                h,
+                jnp.broadcast_to(h[-1:, :], (halo,) + h.shape[1:]),
+            ],
+            axis=0,
+        )
+        return _fused_flow_call(hp, res, iterations, norm_min, norm_max,
+                                block, halo)
+
+    return run(height)
 
 
 def _pad(a):

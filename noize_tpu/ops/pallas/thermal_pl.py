@@ -39,7 +39,7 @@ def _fused_thermal_call(height_pad, res: int, iterations: int, max_diff,
     w = block + 2 * halo
     n_phases = 4 * iterations
 
-    def kernel(md_ref, h_hbm, out, h_s, sem):
+    def kernel(h_hbm, out, h_s, sem):
         i = pl.program_id(0)
         cp = pltpu.make_async_copy(
             h_hbm.at[pl.ds(i * block, w), :], h_s, sem
@@ -47,7 +47,7 @@ def _fused_thermal_call(height_pad, res: int, iterations: int, max_diff,
         cp.start()
         cp.wait()
         row0 = i * block - halo
-        md = md_ref[0]
+        md = jnp.float32(max_diff)
 
         def apply_phase(d, pi):
             x0, z0 = _thermal._PHASE_OFFSETS[pi]
@@ -77,10 +77,7 @@ def _fused_thermal_call(height_pad, res: int, iterations: int, max_diff,
     return pl.pallas_call(
         kernel,
         grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((res, res), _F32),
         scratch_shapes=[
@@ -90,7 +87,7 @@ def _fused_thermal_call(height_pad, res: int, iterations: int, max_diff,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(jnp.reshape(max_diff, (1,)).astype(_F32), height_pad)
+    )(height_pad)
 
 
 @functools.partial(
@@ -117,15 +114,26 @@ def thermal_erosion_fused(data, talus, increment_ratio, height_width_ratio,
     talus_rad = (float(talus) / 90.0) * 3.14159 / 2.0
     # identical op sequence AND implementation to thermal_erosion's
     # max_diff (the backend's own f32 tan — numpy's tanf differs by
-    # 1 ulp); rides into the kernel as an SMEM scalar
-    max_diff = (jnp.tan(jnp.float32(talus_rad)) * height_width_ratio) / res
-    hp = jnp.concatenate(
-        [
-            jnp.broadcast_to(data[:1, :], (halo,) + data.shape[1:]),
-            data,
-            jnp.broadcast_to(data[-1:, :], (halo,) + data.shape[1:]),
-        ],
-        axis=0,
-    )
-    return _fused_thermal_call(hp, res, iterations, max_diff,
-                               increment_ratio, block, halo, unroll)
+    # 1 ulp).  Evaluated at compile time — the operands are static — and
+    # baked into the kernel as a constant: an SMEM scalar input breaks
+    # under vmap (the batched block spec can't squeeze ANY/SMEM operands),
+    # which the tile-batch path exercises.
+    with jax.ensure_compile_time_eval():
+        max_diff = float(
+            (jnp.tan(jnp.float32(talus_rad)) * height_width_ratio) / res)
+    from .batching import sequential_vmap
+
+    @sequential_vmap
+    def run(d):
+        hp = jnp.concatenate(
+            [
+                jnp.broadcast_to(d[:1, :], (halo,) + d.shape[1:]),
+                d,
+                jnp.broadcast_to(d[-1:, :], (halo,) + d.shape[1:]),
+            ],
+            axis=0,
+        )
+        return _fused_thermal_call(hp, res, iterations, max_diff,
+                                   increment_ratio, block, halo, unroll)
+
+    return run(data)

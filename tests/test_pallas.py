@@ -226,3 +226,37 @@ def test_fused_thermal_matches_xla_path():
                 h, 45.0, 0.5, 1.0, iterations=iters, block=block,
                 unroll=False))
         np.testing.assert_allclose(got, want, atol=2e-7)
+
+
+def test_fused_kernels_batch_via_sequential_vmap():
+    """Manual-DMA pallas kernels can't be batched by the standard vmap
+    rule; sequential_vmap must make vmap (the tile_batch dp path) lower to
+    a per-tile lax.map with results equal to per-tile calls."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from noize_tpu.ops import thermal as T, flow as FL
+    from noize_tpu.ops.pallas import thermal_pl as TP, flow_pl as FP
+    from noize_tpu.erosion import pool as PO, pool_pallas as PP
+
+    rng = np.random.default_rng(51)
+    res = 32
+    hb = jnp.asarray(rng.uniform(0, 1, (2, res, res)).astype(np.float32))
+    pb = jnp.asarray(rng.uniform(0, 0.05, (2, res, res)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        tout = jax.vmap(lambda x: TP.thermal_erosion_fused(
+            x, 45.0, 0.5, 1.0, iterations=1, block=8, unroll=False))(hb)
+        fout = jax.vmap(lambda x: FP.flow_map_fused(
+            x, iterations=2, block=8))(hb)
+        pout = jax.vmap(lambda h, p: PP.pool_automata_pallas_pair_fused(
+            h, p, iterations=2, drain_particles=True, block=8,
+            phases_per_launch=4, unroll=False)[0])(hb, pb)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(tout[i]),
+            np.asarray(T.thermal_erosion(hb[i], 45.0, 0.5, 1.0,
+                                         iterations=1)), atol=2e-7)
+        np.testing.assert_array_equal(
+            np.asarray(fout[i]), np.asarray(FL.flow_map(hb[i], iterations=2)))
+        np.testing.assert_array_equal(
+            np.asarray(pout[i]),
+            np.asarray(PO.pool_automata(hb[i], pb[i], iterations=2)[0]))
