@@ -577,10 +577,11 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
         # the per-step gather (and all per-particle math).  Stability
         # preserves the relative slot order of survivors, so per-cell
         # scatter accumulation order — and therefore every f32 sum — is
-        # unchanged (dead slots only ever add 0.0).  Levels: N, N/2, N/4.
+        # unchanged (dead slots only ever add 0.0).
+        # Levels: N, N/2, N/4, N/8 (floor 64 slots).
         n0 = p.row.shape[0]
         levels = [n0]
-        for _ in range(2 if compact else 0):
+        for _ in range(3 if compact else 0):
             nxt = levels[-1] // 2
             if nxt >= 64 and nxt * 2 == levels[-1]:
                 levels.append(nxt)
