@@ -300,23 +300,30 @@ def _sharded_write_sediment(mesh: Mesh, height, sed_acc, params,
 
 def _sharded_pool_automata(mesh: Mesh, height, pool, res: int,
                            iterations: int, drain_particles: bool):
-    """erosion.pool.pool_automata over sharded blocks: per phase, a halo-2
-    exchange of the pool (height exchanged once) and the full-grid masked
-    ``_spread_phase`` with global-coordinate masks/borders on the extended
-    block — core cells compute identically to the single-device op
-    (bit-exact).  The single-device dry-grid lax.cond skip is omitted (a
-    dry phase is a no-op either way)."""
+    """erosion.pool.pool_automata over sharded blocks with one halo
+    exchange per WATER STEP: pool (and the drain accumulator, threaded so
+    the per-phase f32 add order matches the single-device path) ride an
+    8-cell halo, all four checkerboard phases of the step run on the
+    extended block with global-coordinate masks/borders, validity shrinks
+    2 cells per phase per side, and the exact core crops out.  4× fewer
+    ICI collective rounds than a per-phase exchange — the same fusion the
+    on-chip pallas pair kernel applies per launch.  Bit-exact with the
+    single-device op (tested); the single-device dry-grid lax.cond skip is
+    omitted (a dry phase is a no-op either way)."""
+    H = 8  # 2 cells of validity per phase per side × 4 phases
 
     @partial(shard_map, mesh=mesh, in_specs=(_SPEC, _SPEC),
              out_specs=(_SPEC, _SPEC), check_vma=False)
     def body(h, p):
         lr, lc = h.shape
+        assert H <= lr and H <= lc, (
+            f"halo {H} exceeds shard block {(lr, lc)}")
         row0, col0 = _origin((lr, lc))
-        ext_h = exchange_2d(h, 2)
+        ext_h = exchange_2d(h, H)
         grow = (lax.broadcasted_iota(jnp.int32, ext_h.shape, 0)
-                + row0 - 2)
+                + row0 - H)
         gcol = (lax.broadcasted_iota(jnp.int32, ext_h.shape, 1)
-                + col0 - 2)
+                + col0 - H)
         inb = (grow >= 0) & (grow < res) & (gcol >= 0) & (gcol < res)
         border = _border_maps(ext_h.shape, grow, gcol, res)
         masks = [
@@ -324,24 +331,49 @@ def _sharded_pool_automata(mesh: Mesh, height, pool, res: int,
             for xo, zo in _PHASE_ORDER
         ]
 
+        # Ghost cells beyond the GLOBAL border must track their border
+        # cell between the fused phases (clamp semantics — a border cell's
+        # out-of-grid neighbor read is a self-read), exactly like the
+        # fused flow/thermal kernels' per-sub-step reclamping.  Interior
+        # shards have no out-of-grid ghosts, so the wheres are no-ops
+        # there.
+        def reclamp(ext):
+            ext = jnp.where(grow < 0, ext[H:H + 1, :], ext)
+            ext = jnp.where(grow > res - 1,
+                            ext[H + lr - 1:H + lr, :], ext)
+            ext = jnp.where(gcol < 0, ext[:, H:H + 1], ext)
+            ext = jnp.where(gcol > res - 1,
+                            ext[:, H + lc - 1:H + lc], ext)
+            return ext
+
+        # one phase per inner step via lax.switch — an unrolled 4-phase
+        # body explodes XLA compile time (see pool.pool_automata's branch
+        # structure); the exchange still happens once per water step
         def make_branch(i):
             def br(c):
-                p, drains = c
-                ext_p = exchange_2d(p, 2)
-                new_ext, dm_ext = _spread_phase(
+                ext_p, ext_d = c
+                new_p, dm_ext = _spread_phase(
                     ext_h, ext_p, masks[i], drain_particles, border=border)
-                return (new_ext[2:2 + lr, 2:2 + lc],
-                        drains + dm_ext[2:2 + lr, 2:2 + lc])
+                return reclamp(new_p), ext_d + dm_ext
             return br
 
         branches = [make_branch(i) for i in range(4)]
 
-        def step(carry, t):
-            return lax.switch(t % 4, branches, carry), None
+        def water_step(carry, _):
+            p, drains = carry
+            ext = (exchange_2d(p, H), exchange_2d(drains, H))
+
+            def phase(c, t):
+                return lax.switch(t, branches, c), None
+
+            (ext_p, ext_d), _ = lax.scan(
+                phase, ext, jnp.arange(4, dtype=jnp.int32))
+            sl_r = slice(H, H + lr)
+            sl_c = slice(H, H + lc)
+            return (ext_p[sl_r, sl_c], ext_d[sl_r, sl_c]), None
 
         (p, drains), _ = lax.scan(
-            step, (p, jnp.zeros_like(p)),
-            jnp.arange(4 * iterations, dtype=jnp.int32))
+            water_step, (p, jnp.zeros_like(p)), None, length=iterations)
         return p, drains
 
     return body(height, pool)

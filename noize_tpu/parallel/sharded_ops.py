@@ -113,8 +113,10 @@ def sharded_gauss_blur(mesh: Mesh, data, width: int, sigma, iterations: int = 1)
 def sharded_thermal_erosion(mesh: Mesh, data, talus, increment_ratio,
                             height_width_ratio, iterations: int = 1):
     """thermal_erosion over a sharded field: the mask/role phase variant
-    (ops.thermal.thermal_phase_masked) on halo-1 extended shards, one
-    exchange per phase.  Matches the single-device op exactly."""
+    (ops.thermal.thermal_phase_masked) with ONE halo-8 exchange per
+    iteration covering all 4 phases (validity shrinks 2 cells/phase).
+    Matches the single-device op exactly on TPU; ~1 ulp on XLA CPU (see
+    the in-body caveat)."""
     from ..ops import thermal as _t
 
     res = data.shape[0]
@@ -124,20 +126,38 @@ def sharded_thermal_erosion(mesh: Mesh, data, talus, increment_ratio,
     talus_rad = (talus / 90.0) * 3.14159 / 2.0
     spec = P("x", "y")
 
+    H = 8  # 2 cells of validity per phase per side × 4 phases
+
     @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
     def run(block):
         max_diff = (jnp.tan(jnp.float32(talus_rad)) * height_width_ratio) / res
-        row0 = lax.axis_index("x") * local_r - 1
-        col0 = lax.axis_index("y") * local_c - 1
+        row0 = lax.axis_index("x") * local_r - H
+        col0 = lax.axis_index("y") * local_c - H
+
+        # ONE halo exchange per iteration (4 phases ride an 8-cell halo
+        # with shrinking validity) instead of one per phase — 4× fewer
+        # ICI collective rounds.  No ghost reclamping is needed: thermal
+        # blocks are anchored strictly inside the grid, so valid cells
+        # never read out-of-grid ghosts.  One phase per scan step via
+        # lax.switch (unrolled multi-phase bodies explode XLA compile).
+        # CPU caveat: XLA CPU FMA-contracts differently-fused but
+        # mathematically identical programs, so ~1% of cells differ from
+        # the single-device op by 1 ulp there (bit-exact on TPU).
+        branches = [
+            (lambda x0, z0: lambda e: _t.thermal_phase_masked(
+                e, x0, z0, row0, col0, res, max_diff, increment_ratio))(
+                    x0, z0)
+            for (x0, z0) in _t._PHASE_OFFSETS
+        ]
 
         def one_iter(_, b):
-            for (x0, z0) in _t._PHASE_OFFSETS:
-                ext = exchange_2d(b, 1)
-                ext = _t.thermal_phase_masked(
-                    ext, x0, z0, row0, col0, res, max_diff, increment_ratio
-                )
-                b = _crop(ext, 1)
-            return b
+            ext = exchange_2d(b, H)
+
+            def phase(e, t):
+                return lax.switch(t, branches, e), None
+
+            ext, _ = lax.scan(phase, ext, jnp.arange(4, dtype=jnp.int32))
+            return _crop(ext, H)
 
         return lax.fori_loop(0, iterations, one_iter, block)
 
@@ -146,45 +166,75 @@ def sharded_thermal_erosion(mesh: Mesh, data, talus, increment_ratio,
 
 def sharded_flow_map(mesh: Mesh, height, iterations: int = 5,
                      norm_min=-0.1, norm_max=0.1):
-    """flow_map over a sharded field: width-1 halo exchanged per relaxation
-    step inside the scan (flows + water + static height)."""
+    """flow_map over a sharded field with ONE halo exchange total.
+
+    The old formulation exchanged ~10 strips per relaxation step; here the
+    height rides a (2·iterations + 1)-cell halo once, the whole relaxation
+    (water/flows initialized in place) plus velocity + normalize runs on
+    the extended block, validity shrinks 2 cells per iteration per side,
+    and ghost cells beyond the GLOBAL border re-replicate their border
+    cell after every sub-step (clamp semantics) — the same scheme as the
+    single-chip fused pallas flow kernel (`ops.pallas.flow_pl`), extended
+    to ghosts on all four sides.  Matches ops.flow.flow_map exactly on
+    TPU, ~1 ulp on XLA CPU (FMA-contraction differences between
+    separately compiled programs); when the halo exceeds the shard block,
+    iterations run in groups with one exchange per group."""
     spec = P("x", "y")
+    res_r, res_c = height.shape
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    lr = res_r // nx
+    lc = res_c // ny
+    # iterations per exchange group: each iteration costs 2 cells of halo
+    # validity per side (+1 for the final velocity stencil); the group
+    # halo must fit the shard block
+    k = max(1, min(iterations, (min(lr, lc) - 1) // 2))
+    H = 2 * k + 1
+    groups = []
+    left = iterations
+    while left > 0:
+        groups.append(min(k, left))
+        left -= groups[-1]
 
     @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
     def run(hblock):
-        shape = hblock.shape
-        water = jnp.full(shape, _f.WATER_INIT, jnp.float32)
-        zeros = jnp.zeros(shape, jnp.float32)
-        h_ext = exchange_2d(hblock, 1)
+        row0 = lax.axis_index("x") * lr - H
+        col0 = lax.axis_index("y") * lc - H
+        h_ext = exchange_2d(hblock, H)
+        grow = lax.broadcasted_iota(jnp.int32, h_ext.shape, 0) + row0
+        gcol = lax.broadcasted_iota(jnp.int32, h_ext.shape, 1) + col0
+
+        def reclamp(ext):
+            ext = jnp.where(grow < 0, ext[H:H + 1, :], ext)
+            ext = jnp.where(grow > res_r - 1, ext[H + lr - 1:H + lr, :], ext)
+            ext = jnp.where(gcol < 0, ext[:, H:H + 1], ext)
+            ext = jnp.where(gcol > res_c - 1, ext[:, H + lc - 1:H + lc], ext)
+            return ext
 
         def step(carry, _):
             water, fw, fe, fs, fn = carry
-            w_ext = exchange_2d(water, 1)
-            fw_e = exchange_2d(fw, 1)
-            fe_e = exchange_2d(fe, 1)
-            fs_e = exchange_2d(fs, 1)
-            fn_e = exchange_2d(fn, 1)
-            nfw, nfe, nfs, nfn = _f.compute_flow_step(h_ext, w_ext, fw_e, fe_e, fs_e, fn_e)
-            nfw, nfe, nfs, nfn = (_crop(a, 1) for a in (nfw, nfe, nfs, nfn))
-            nfw_e = exchange_2d(nfw, 1)
-            nfe_e = exchange_2d(nfe, 1)
-            nfs_e = exchange_2d(nfs, 1)
-            nfn_e = exchange_2d(nfn, 1)
-            water = _crop(_f.update_water_step(w_ext, nfw_e, nfe_e, nfs_e, nfn_e), 1)
-            return (water, nfw, nfe, nfs, nfn), None
+            fw, fe, fs, fn = _f.compute_flow_step(h_ext, water, fw, fe, fs, fn)
+            fw, fe, fs, fn = (reclamp(a) for a in (fw, fe, fs, fn))
+            water = reclamp(_f.update_water_step(water, fw, fe, fs, fn))
+            return (water, fw, fe, fs, fn), None
 
-        (water, fw, fe, fs, fn), _ = lax.scan(
-            step, (water, zeros, zeros, zeros, zeros), None, length=iterations
-        )
-        v = _crop(
-            _f.velocity_field(
-                exchange_2d(fw, 1), exchange_2d(fe, 1),
-                exchange_2d(fs, 1), exchange_2d(fn, 1),
-            ),
-            1,
-        )
+        sl = (slice(H, H + lr), slice(H, H + lc))
+        water = jnp.full(h_ext.shape, _f.WATER_INIT, jnp.float32)
+        zeros = jnp.zeros(h_ext.shape, jnp.float32)
+        carry = (water, zeros, zeros, zeros, zeros)
+        for gi, g in enumerate(groups):
+            if gi > 0:
+                # re-extend the cropped state for the next group (ghosts
+                # re-replicate as part of the exchange's clamp fill)
+                carry = tuple(exchange_2d(a, H) for a in carry)
+            carry, _ = lax.scan(step, carry, None, length=g)
+            if gi < len(groups) - 1:
+                carry = tuple(a[sl] for a in carry)
+
+        _, fw, fe, fs, fn = carry
+        v = _f.velocity_field(fw, fe, fs, fn)
         rng = norm_max - norm_min
         v = jnp.where(rng < 1e-12, 0.0, v)
-        return (v - norm_min) / rng
+        v = (v - norm_min) / rng
+        return v[sl]
 
     return run(height)
