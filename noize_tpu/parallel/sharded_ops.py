@@ -70,26 +70,69 @@ def sharded_fractal(mesh: Mesh, resolution: int, xpos, zpos, **kw):
     return gen()
 
 
-def sharded_kernel_filter(mesh: Mesh, data, filter_type: str, iterations: int = 1):
-    """kernel_filter over a sharded field: one halo exchange per iteration
-    (halo = taps//2 per pass; both X and Z passes covered by a 2-D halo)."""
-    if filter_type == "Sobel3_2D":
-        halo = 1
-        local = _k.sobel2d
-    else:
-        tx, tz, factor = _k._SERIES_TABLE[filter_type]
-        halo = (len(tx) - 1) // 2
-        local = lambda a: _k.separable_series(a, tx, tz, factor)
+def _sharded_iterated_stencil(mesh: Mesh, data, local, hw: int,
+                              iterations: int):
+    """Run ``iterations`` of a clamped stencil ``local(ext) -> ext`` (per-
+    iteration receptive field ``hw`` per side) over the sharded field with
+    ONE halo exchange per GROUP of iterations instead of one per
+    iteration: the group rides a k·hw halo with validity shrinking hw per
+    iteration, and global-border ghosts re-replicate their border cell
+    after each iteration (clamp semantics — ghosts must track the border
+    between fused iterations).  ~1 ulp vs the single-device chain on XLA
+    CPU (FMA-contraction artifact); exact on TPU."""
     spec = P("x", "y")
+    res_r, res_c = data.shape
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    lr = res_r // nx
+    lc = res_c // ny
+    k = max(1, min(iterations, min(lr, lc) // hw))
+    H = k * hw
+    groups = []
+    left = iterations
+    while left > 0:
+        groups.append(min(k, left))
+        left -= groups[-1]
 
-    @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
-    def one(block):
-        ext = exchange_2d(block, halo)
-        return _crop(local(ext), halo)
+    @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec,
+             check_vma=False)
+    def run(block):
+        row0 = lax.axis_index("x") * lr - H
+        col0 = lax.axis_index("y") * lc - H
+        shape_ext = (lr + 2 * H, lc + 2 * H)
+        grow = lax.broadcasted_iota(jnp.int32, shape_ext, 0) + row0
+        gcol = lax.broadcasted_iota(jnp.int32, shape_ext, 1) + col0
 
-    for _ in range(iterations):
-        data = one(data)
-    return data
+        def reclamp(ext):
+            ext = jnp.where(grow < 0, ext[H:H + 1, :], ext)
+            ext = jnp.where(grow > res_r - 1, ext[H + lr - 1:H + lr, :], ext)
+            ext = jnp.where(gcol < 0, ext[:, H:H + 1], ext)
+            ext = jnp.where(gcol > res_c - 1, ext[:, H + lc - 1:H + lc], ext)
+            return ext
+
+        def step(ext, _):
+            return reclamp(local(ext)), None
+
+        sl = (slice(H, H + lr), slice(H, H + lc))
+        for gi, g in enumerate(groups):
+            ext = exchange_2d(block, H)
+            ext, _ = lax.scan(step, ext, None, length=g)
+            block = ext[sl]
+        return block
+
+    return run(data)
+
+
+def sharded_kernel_filter(mesh: Mesh, data, filter_type: str, iterations: int = 1):
+    """kernel_filter over a sharded field — one halo exchange per group of
+    iterations (see _sharded_iterated_stencil)."""
+    if filter_type == "Sobel3_2D":
+        return _sharded_iterated_stencil(
+            mesh, data, _k.sobel2d, 1, iterations)
+    tx, tz, factor = _k._SERIES_TABLE[filter_type]
+    hw = (len(tx) - 1) // 2
+    return _sharded_iterated_stencil(
+        mesh, data, lambda a: _k.separable_series(a, tx, tz, factor),
+        hw, iterations)
 
 
 def sharded_gauss_blur(mesh: Mesh, data, width: int, sigma, iterations: int = 1):
@@ -97,17 +140,9 @@ def sharded_gauss_blur(mesh: Mesh, data, width: int, sigma, iterations: int = 1)
 
     width = _b.limit_width(width)
     taps = _b.gaussian_taps(_b.sigma_value(sigma), width)
-    halo = (width - 1) // 2
-    spec = P("x", "y")
-
-    @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
-    def one(block):
-        ext = exchange_2d(block, halo)
-        return _crop(_k.separable_series(ext, taps, taps, 1.0), halo)
-
-    for _ in range(iterations):
-        data = one(data)
-    return data
+    return _sharded_iterated_stencil(
+        mesh, data, lambda a: _k.separable_series(a, taps, taps, 1.0),
+        (width - 1) // 2, iterations)
 
 
 def sharded_thermal_erosion(mesh: Mesh, data, talus, increment_ratio,
