@@ -204,21 +204,24 @@ def _sharded_descent(mesh: Mesh, world: WorldState, parts: Particles,
             ap = ap.at[idx].add(dp_.reshape(-1))
             asd = asd.at[idx].add(ds.reshape(-1))
 
-            # event-sourcing merge: exactly one shard owns each particle
-            def merge_f(x):
-                return lax.psum(jnp.where(owned, x, jnp.zeros_like(x)),
-                                ("x", "y"))
-
+            # event-sourcing merge: exactly one shard owns each particle.
+            # All 8 fields pack into ONE (8, N) f32 stack so the merge is
+            # a single psum per chunk instead of eight collectives; int
+            # fields round-trip exactly (heading/age/alive are small ints,
+            # exactly representable in f32).
+            stack = jnp.stack([
+                part.row, part.col, part.heading.astype(_F32), part.vel,
+                part.water, part.sediment, part.age.astype(_F32),
+                part.alive.astype(_F32),
+            ])
+            stack = lax.psum(
+                jnp.where(owned[None, :], stack, 0.0), ("x", "y"))
             merged = Particles(
-                row=merge_f(part.row), col=merge_f(part.col),
-                heading=lax.psum(
-                    jnp.where(owned, part.heading, 0), ("x", "y")),
-                vel=merge_f(part.vel), water=merge_f(part.water),
-                sediment=merge_f(part.sediment),
-                age=lax.psum(jnp.where(owned, part.age, 0), ("x", "y")),
-                alive=lax.psum(
-                    jnp.where(owned, part.alive.astype(jnp.int32), 0),
-                    ("x", "y")) > 0,
+                row=stack[0], col=stack[1],
+                heading=stack[2].astype(jnp.int32),
+                vel=stack[3], water=stack[4], sediment=stack[5],
+                age=stack[6].astype(jnp.int32),
+                alive=stack[7] > 0.5,
             )
             return (merged, at, ap, asd), None
 
