@@ -48,6 +48,18 @@ class TestShardedStencils:
             jnp.asarray(a), 5, 1.0), 5, 1.0), 5, 1.0))
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+    def test_gauss_17_iterations_multi_group(self, mesh):
+        """17 iterations at small blocks force multiple halo-exchange
+        groups (k iterations per exchange) — the grouped path must match
+        the single-device chain."""
+        a, ash = sharded_field(mesh, 32)
+        got = np.asarray(SO.sharded_gauss_blur(mesh, ash, 5, 1.0,
+                                               iterations=17))
+        want = jnp.asarray(a)
+        for _ in range(17):
+            want = B.gauss_blur(want, 5, 1.0)
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
     def test_kernel_filter_matches_local(self, mesh):
         a, ash = sharded_field(mesh)
         got = np.asarray(SO.sharded_kernel_filter(mesh, ash, "Smooth3", 2))
