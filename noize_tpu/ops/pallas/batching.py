@@ -25,15 +25,17 @@ def sequential_vmap(f):
     def _rule(axis_size, in_batched, *args):
         flat_args, treedef = jax.tree_util.tree_flatten(args)
         flat_b, _ = jax.tree_util.tree_flatten(in_batched)
-        full = [
-            a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
-            for a, b in zip(flat_args, flat_b)
-        ]
+        # only batched operands ride the map; unbatched ones close over
+        # the body (no axis_size-fold broadcast materialized in HBM)
+        mapped = tuple(a for a, b in zip(flat_args, flat_b) if b)
 
         def body(xs):
-            return f(*jax.tree_util.tree_unflatten(treedef, xs))
+            it = iter(xs)
+            flat = [next(it) if b else a
+                    for a, b in zip(flat_args, flat_b)]
+            return f(*jax.tree_util.tree_unflatten(treedef, flat))
 
-        out = jax.lax.map(body, tuple(full))
+        out = jax.lax.map(body, mapped)
         return out, jax.tree_util.tree_map(lambda _: True, out)
 
     return vf

@@ -71,6 +71,33 @@ def exchange_2d(block, halo: int, axis_row: str = "x", axis_col: str = "y",
     return exchange_axis(block, halo, axis_col, dim=1, border=border)
 
 
+def reclamp_ghosts(ext, grow, gcol, halo: int, lr: int, lc: int,
+                   res_r: int, res_c: int):
+    """Re-replicate GLOBAL-border ghost cells from their border row/col.
+
+    Fused multi-step stencils evolve a halo-extended block without
+    re-exchanging between sub-steps; clamp semantics require out-of-grid
+    ghosts to track the border cell they alias, so global-border shards
+    refresh them after each sub-step (a no-op on interior shards —
+    ``grow``/``gcol`` are the global coordinate grids of the extended
+    block)."""
+    ext = jnp.where(grow < 0, ext[halo:halo + 1, :], ext)
+    ext = jnp.where(grow > res_r - 1, ext[halo + lr - 1:halo + lr, :], ext)
+    ext = jnp.where(gcol < 0, ext[:, halo:halo + 1], ext)
+    ext = jnp.where(gcol > res_c - 1, ext[:, halo + lc - 1:halo + lc], ext)
+    return ext
+
+
+def split_groups(total: int, k: int):
+    """[k, k, ..., remainder] covering ``total`` items."""
+    groups = []
+    left = total
+    while left > 0:
+        groups.append(min(k, left))
+        left -= groups[-1]
+    return groups
+
+
 def fold_axis(ext, halo: int, axis_name: str, dim: int):
     """Adjoint of exchange_axis for accumulators: fold the halo strips of an
     extended block back onto the owning neighbors' cores.

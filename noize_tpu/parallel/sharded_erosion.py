@@ -11,7 +11,7 @@ exchange") at cycle scope.
 
 Design per phase:
 
-* thermal — per-phase halo-1 exchange (``sharded_ops.sharded_thermal_erosion``).
+* thermal — grouped-phase halo exchange (``sharded_ops.sharded_thermal_erosion``).
 * spawn — fresh particles are replicated computation (same PRNG key on
   every shard).  Drain-particle conversion needs a GLOBAL top-K over the
   drain map: each shard top-Ks its block, all-gathers the (value, global
@@ -33,9 +33,10 @@ Design per phase:
   exchange) plus closed-form global-edge folds applied only on border
   shards — bit-exact with ``erosion.sediment._disperse_axis``.
 * flow decay — elementwise (no communication).
-* pool automata — per-phase halo-2 exchange; ``_spread_phase`` already
-  takes global-coordinate masks/borders (the same contract the pallas
-  window kernels use), so shards compute their extended block and crop.
+* pool automata — ONE pool exchange per water step: all four phases run
+  on an 8-cell halo with per-phase global-border ghost reclamping;
+  ``_spread_phase`` takes global-coordinate masks/borders (the same
+  contract the pallas window kernels use) and the exact core crops out.
 
 Determinism note (D8, extends PARITY.md D5): per-cell float sums of
 descent events reassociate across shard boundaries (each shard scatters
@@ -67,7 +68,8 @@ from ..erosion.sediment import KERNEL5, _triangle_taps
 from ..erosion.sim import SimState
 from ..erosion.world import WorldState, update_flow_from_track
 from ..core.tiles import TileSetMeta
-from .halo import exchange_2d, exchange_axis, fold_2d, shard_map
+from .halo import (exchange_2d, exchange_axis, fold_2d, reclamp_ghosts,
+                   shard_map)
 
 _F32 = jnp.float32
 _SPEC = P("x", "y")
@@ -337,43 +339,39 @@ def _sharded_pool_automata(mesh: Mesh, height, pool, res: int,
         # Ghost cells beyond the GLOBAL border must track their border
         # cell between the fused phases (clamp semantics — a border cell's
         # out-of-grid neighbor read is a self-read), exactly like the
-        # fused flow/thermal kernels' per-sub-step reclamping.  Interior
-        # shards have no out-of-grid ghosts, so the wheres are no-ops
-        # there.
-        def reclamp(ext):
-            ext = jnp.where(grow < 0, ext[H:H + 1, :], ext)
-            ext = jnp.where(grow > res - 1,
-                            ext[H + lr - 1:H + lr, :], ext)
-            ext = jnp.where(gcol < 0, ext[:, H:H + 1], ext)
-            ext = jnp.where(gcol > res - 1,
-                            ext[:, H + lc - 1:H + lc], ext)
-            return ext
+        # fused flow/thermal kernels' per-sub-step reclamping; the drain
+        # accumulator stays core-sized (its halo is never read — each
+        # phase's cropped contribution adds on in phase order, preserving
+        # the single-device per-cell f32 add sequence) so only the pool
+        # rides the exchange.
+        sl_r = slice(H, H + lr)
+        sl_c = slice(H, H + lc)
 
         # one phase per inner step via lax.switch — an unrolled 4-phase
         # body explodes XLA compile time (see pool.pool_automata's branch
         # structure); the exchange still happens once per water step
         def make_branch(i):
             def br(c):
-                ext_p, ext_d = c
+                ext_p, drains = c
                 new_p, dm_ext = _spread_phase(
                     ext_h, ext_p, masks[i], drain_particles, border=border)
-                return reclamp(new_p), ext_d + dm_ext
+                new_p = reclamp_ghosts(new_p, grow, gcol, H, lr, lc,
+                                       res, res)
+                return new_p, drains + dm_ext[sl_r, sl_c]
             return br
 
         branches = [make_branch(i) for i in range(4)]
 
         def water_step(carry, _):
             p, drains = carry
-            ext = (exchange_2d(p, H), exchange_2d(drains, H))
 
             def phase(c, t):
                 return lax.switch(t, branches, c), None
 
-            (ext_p, ext_d), _ = lax.scan(
-                phase, ext, jnp.arange(4, dtype=jnp.int32))
-            sl_r = slice(H, H + lr)
-            sl_c = slice(H, H + lc)
-            return (ext_p[sl_r, sl_c], ext_d[sl_r, sl_c]), None
+            (ext_p, drains), _ = lax.scan(
+                phase, (exchange_2d(p, H), drains),
+                jnp.arange(4, dtype=jnp.int32))
+            return (ext_p[sl_r, sl_c], drains), None
 
         (p, drains), _ = lax.scan(
             water_step, (p, jnp.zeros_like(p)), None, length=iterations)

@@ -20,7 +20,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops import kernels as _k
 from ..ops import flow as _f
 from ..ops.fractal import noise_value
-from .halo import exchange_2d, shard_map, _crop
+from .halo import (exchange_2d, reclamp_ghosts, shard_map, split_groups,
+                   _crop)
 
 
 def sharded_fractal(mesh: Mesh, resolution: int, xpos, zpos, **kw):
@@ -85,13 +86,13 @@ def _sharded_iterated_stencil(mesh: Mesh, data, local, hw: int,
     nx, ny = mesh.shape["x"], mesh.shape["y"]
     lr = res_r // nx
     lc = res_c // ny
+    if hw > min(lr, lc):
+        raise ValueError(
+            f"stencil receptive field {hw} exceeds shard block {(lr, lc)}; "
+            "use fewer shards")
     k = max(1, min(iterations, min(lr, lc) // hw))
     H = k * hw
-    groups = []
-    left = iterations
-    while left > 0:
-        groups.append(min(k, left))
-        left -= groups[-1]
+    groups = split_groups(iterations, k)
 
     @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec,
              check_vma=False)
@@ -102,15 +103,9 @@ def _sharded_iterated_stencil(mesh: Mesh, data, local, hw: int,
         grow = lax.broadcasted_iota(jnp.int32, shape_ext, 0) + row0
         gcol = lax.broadcasted_iota(jnp.int32, shape_ext, 1) + col0
 
-        def reclamp(ext):
-            ext = jnp.where(grow < 0, ext[H:H + 1, :], ext)
-            ext = jnp.where(grow > res_r - 1, ext[H + lr - 1:H + lr, :], ext)
-            ext = jnp.where(gcol < 0, ext[:, H:H + 1], ext)
-            ext = jnp.where(gcol > res_c - 1, ext[:, H + lc - 1:H + lc], ext)
-            return ext
-
         def step(ext, _):
-            return reclamp(local(ext)), None
+            return reclamp_ghosts(
+                local(ext), grow, gcol, H, lr, lc, res_r, res_c), None
 
         sl = (slice(H, H + lr), slice(H, H + lc))
         for gi, g in enumerate(groups):
@@ -161,7 +156,14 @@ def sharded_thermal_erosion(mesh: Mesh, data, talus, increment_ratio,
     talus_rad = (talus / 90.0) * 3.14159 / 2.0
     spec = P("x", "y")
 
-    H = 8  # 2 cells of validity per phase per side × 4 phases
+    # phases per exchange, sized to the shard block (2 cells of validity
+    # per phase per side); blocks >= 8 fuse all 4 phases per iteration
+    minb = min(local_r, local_c)
+    if minb < 2:
+        raise ValueError(f"shard block {(local_r, local_c)} too small")
+    k_ph = max(1, min(4, minb // 2))
+    H = 2 * k_ph
+    phase_groups = split_groups(4, k_ph)
 
     @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
     def run(block):
@@ -186,13 +188,18 @@ def sharded_thermal_erosion(mesh: Mesh, data, talus, increment_ratio,
         ]
 
         def one_iter(_, b):
-            ext = exchange_2d(b, H)
+            p0 = 0
+            for g in phase_groups:
+                ext = exchange_2d(b, H)
 
-            def phase(e, t):
-                return lax.switch(t, branches, e), None
+                def phase(e, t):
+                    return lax.switch(t, branches, e), None
 
-            ext, _ = lax.scan(phase, ext, jnp.arange(4, dtype=jnp.int32))
-            return _crop(ext, H)
+                ext, _ = lax.scan(
+                    phase, ext, jnp.arange(p0, p0 + g, dtype=jnp.int32))
+                b = _crop(ext, H)
+                p0 += g
+            return b
 
         return lax.fori_loop(0, iterations, one_iter, block)
 
@@ -222,13 +229,13 @@ def sharded_flow_map(mesh: Mesh, height, iterations: int = 5,
     # iterations per exchange group: each iteration costs 2 cells of halo
     # validity per side (+1 for the final velocity stencil); the group
     # halo must fit the shard block
+    if min(lr, lc) < 3:
+        raise ValueError(
+            f"shard block {(lr, lc)} below the minimum halo (3); "
+            "use fewer shards")
     k = max(1, min(iterations, (min(lr, lc) - 1) // 2))
     H = 2 * k + 1
-    groups = []
-    left = iterations
-    while left > 0:
-        groups.append(min(k, left))
-        left -= groups[-1]
+    groups = split_groups(iterations, k)
 
     @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
     def run(hblock):
@@ -239,11 +246,7 @@ def sharded_flow_map(mesh: Mesh, height, iterations: int = 5,
         gcol = lax.broadcasted_iota(jnp.int32, h_ext.shape, 1) + col0
 
         def reclamp(ext):
-            ext = jnp.where(grow < 0, ext[H:H + 1, :], ext)
-            ext = jnp.where(grow > res_r - 1, ext[H + lr - 1:H + lr, :], ext)
-            ext = jnp.where(gcol < 0, ext[:, H:H + 1], ext)
-            ext = jnp.where(gcol > res_c - 1, ext[:, H + lc - 1:H + lc], ext)
-            return ext
+            return reclamp_ghosts(ext, grow, gcol, H, lr, lc, res_r, res_c)
 
         def step(carry, _):
             water, fw, fe, fs, fn = carry
