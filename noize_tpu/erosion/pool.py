@@ -92,20 +92,18 @@ def _spread_phase(height, pool, mask, drain_particles: bool, border=None):
     res = height.shape[0]
     if border is None:
         border = _border_maps(height.shape)
-    active = mask & (pool > 0.0)
 
     # gather neighbor land/water (phase-start snapshot)
     n_height = [shift_clamped(height, dr, dc) for (dr, dc) in _DIRS]
     n_water = [shift_clamped(pool, dr, dc) for (dr, dc) in _DIRS]
-    # Ascending sort of the 4 neighbors per cell by (current, direction) via
-    # a 5-comparator sorting network — no argsort / take_along_axis gathers,
-    # which lower terribly on TPU (measured 6+ms per phase at 256² with the
+    # Ascending rank of the 4 neighbors per cell by (current, direction) via
+    # pairwise comparisons — no argsort / take_along_axis gathers, which
+    # lower terribly on TPU (measured 6+ms per phase at 256² with the
     # gather formulation).  See _phase_core.
-    h_water, deltas, drain_out = _phase_core(
-        n_height, n_water, height, pool, active, drain_particles
+    new_pool, deltas, drain_out = _phase_core(
+        n_height, n_water, height, pool, mask, drain_particles
     )
 
-    new_pool = jnp.where(active, h_water, pool)
     # Scatter the per-direction outflows onto the targets.  A giver g's
     # target is clamp(g + d): interior givers feed the true neighbor
     # (zero-fill reverse shift); border givers whose neighbor clamps onto
@@ -175,66 +173,165 @@ def _spread_phase_halfrow(height, pool, xoff: int, zoff: int,
     return new_pool, drain_map
 
 
-def _phase_core(n_height, n_water, h_land, pool_snapshot, active,
-                drain_particles: bool):
+def _phase_core(n_height, n_water, h_land, pool_snapshot, geo_mask,
+                drain_particles: bool, hl_ge_nh=None):
     """The per-cell phase body shared by the pair/quad/full-grid layouts:
-    5-comparator sorting network over the 4 neighbor tuples, then the 4
-    sequential sorted sub-steps (SpreadPool's per-cell serial order,
-    LiveErosionDataTypes.cs:938-1010).  Pure elementwise — layout-agnostic.
+    rank the 4 neighbors by ascending (height+pool, direction), then run
+    the 4 sequential rank-ordered sub-steps (SpreadPool's per-cell serial
+    order, LiveErosionDataTypes.cs:938-1010).  Pure elementwise —
+    layout-agnostic.
 
-    Returns (h_water_final, deltas[4], drain_out[4]) where deltas/drain_out
-    are giver-indexed per-direction transfer volumes."""
-    items = [
-        (n_height[d] + n_water[d], n_height[d], n_water[d],
-         jnp.full_like(pool_snapshot, float(d)))
-        for d in range(4)
+    ``geo_mask``: the phase's GEOMETRIC lattice mask (in-bounds active
+    lattice cells); the per-cell water threshold is applied internally, so
+    callers must NOT pre-and a ``pool > 0`` term (cells below threshold
+    never move water either way, making the geometric mask sufficient).
+
+    ``hl_ge_nh``: optional phase-invariant precompute of
+    ``[h_land >= n_height[d]]`` — heights never change across the phases
+    of a pool call, so launch/scan-level callers hoist these four compares
+    (and the n_height shifts) out of the per-phase body.
+
+    Returns (new_water, deltas[4], drain_out[4]): new_water is the cell's
+    own post-sub-step water for ALL cells (inactive cells pass their
+    snapshot through); deltas/drain_out are giver-indexed per-direction
+    transfer volumes.
+
+    Op-count notes (this core dominates flagship erosion time — see
+    BENCH_HISTORY round 3): vs the earlier 4-field sorting-network form,
+    this (a) ranks with 6 pairwise compares where ties resolve statically
+    (for d < d', "d before d'" ⟺ key_d <= key_d'), (b) folds the
+    give/take branches into one clamp — for non-drain cells the transfer
+    is exactly clip(0.25·diff, -0.25·bw, 0.25·h_water), bit-equal to the
+    branched form for non-negative water, and (c) routes per-direction
+    outputs once after the sub-steps (each direction is visited exactly
+    once, and a drain empties the cell so at most one drain fires per
+    phase)."""
+    if hl_ge_nh is None:
+        hl_ge_nh = [h_land >= n_height[d] for d in range(4)]
+    keys = [n_height[d] + n_water[d] for d in range(4)]
+    # dry-drain eligibility per direction (reference: neighbor dry AND not
+    # above the cell's land — LiveErosionDataTypes.cs:973-979)
+    elig = [(n_water[d] <= 0.0) & hl_ge_nh[d] for d in range(4)]
+
+    # rank_d = sub-step at which direction d is visited (ascending key,
+    # ties in direction-enumeration order — matching the reference's
+    # FloodedNeighbor sort with deterministic tie handling)
+    a01 = (keys[0] <= keys[1]).astype(jnp.int32)
+    a02 = (keys[0] <= keys[2]).astype(jnp.int32)
+    a03 = (keys[0] <= keys[3]).astype(jnp.int32)
+    a12 = (keys[1] <= keys[2]).astype(jnp.int32)
+    a13 = (keys[1] <= keys[3]).astype(jnp.int32)
+    a23 = (keys[2] <= keys[3]).astype(jnp.int32)
+    rank = [
+        3 - a01 - a02 - a03,
+        2 + a01 - a12 - a13,
+        1 + a02 + a12 - a23,
+        a03 + a13 + a23,
     ]
+    # hits[d][e]: direction d is visited at sub-step e (a permutation —
+    # exactly one d per e and one e per d); shared by the sub-step field
+    # selection and the output demux
+    hits = [[rank[d] == e for e in range(4)] for d in range(4)]
 
-    def cswap(a, b):
-        swap = (a[0] > b[0]) | ((a[0] == b[0]) & (a[3] > b[3]))
-        lo = tuple(jnp.where(swap, y, x) for x, y in zip(a, b))
-        hi = tuple(jnp.where(swap, x, y) for x, y in zip(a, b))
-        return lo, hi
-
-    items[0], items[1] = cswap(items[0], items[1])
-    items[2], items[3] = cswap(items[2], items[3])
-    items[0], items[2] = cswap(items[0], items[2])
-    items[1], items[3] = cswap(items[1], items[3])
-    items[1], items[2] = cswap(items[1], items[2])
-
-    h_water = jnp.where(active, pool_snapshot, 0.0)
-    t_height = h_land + h_water
-    deltas = [jnp.zeros_like(pool_snapshot) for _ in range(4)]
-    drain_out = [jnp.zeros_like(pool_snapshot) for _ in range(4)]
-
-    for e in range(4):
-        bcur, bh, bw, sel = items[e]
-        diff_v = t_height - bcur
-        can = active & (h_water >= 1e-3)
-        is_drain = can & (bw <= 0.0) & (h_land >= bh)
-        give = can & ~is_drain & (diff_v > 0.0) & (h_water > 0.0)
-        take = can & ~is_drain & (diff_v < 0.0) & (bw > 0.0)
-        fill_give = jnp.minimum(0.25 * h_water, 0.25 * diff_v)
-        fill_take = jnp.minimum(0.25 * bw, -0.25 * diff_v)
-        moved = (
-            jnp.where(is_drain, h_water, 0.0)
-            + jnp.where(give, fill_give, 0.0)
-            - jnp.where(take, fill_take, 0.0)
+    def pick(e, fields):
+        """Select fields of the direction ranked ``e`` (nested where; the
+        last direction is the else branch of the permutation)."""
+        return tuple(
+            jnp.where(hits[0][e], f[0],
+                      jnp.where(hits[1][e], f[1],
+                                jnp.where(hits[2][e], f[2], f[3])))
+            for f in fields
         )
+
+    h_water = pool_snapshot
+    t_height = h_land + h_water
+    moved_s = []
+    drain_s = []
+    for e in range(4):
+        key_e, bw_e, elig_e = pick(e, (keys, n_water, elig))
+        diff_v = t_height - key_e
+        can = geo_mask & (h_water >= 1e-3)
+        is_drain = can & elig_e
+        # non-drain transfer: clip(0.25·diff, -0.25·bw, 0.25·h_water)
+        # (positive = give to the neighbor, negative = take from it)
+        clipv = jnp.minimum(
+            jnp.maximum(0.25 * diff_v, -0.25 * bw_e), 0.25 * h_water
+        )
+        moved = jnp.where(can, jnp.where(is_drain, h_water, clipv), 0.0)
         h_water = h_water - moved
         t_height = h_land + h_water
-        for d in range(4):
-            hit = sel == float(d)
-            if drain_particles:
-                deltas[d] = deltas[d] + jnp.where(hit & ~is_drain, moved, 0.0)
-                drain_out[d] = drain_out[d] + jnp.where(hit & is_drain, moved, 0.0)
-            else:
-                deltas[d] = deltas[d] + jnp.where(hit, moved, 0.0)
+        moved_s.append(moved)
+        drain_s.append(is_drain)
+
+    def demux(vals):
+        """Route the per-sub-step volumes back to per-direction outputs."""
+        return [
+            jnp.where(hits[d][0], vals[0],
+                      jnp.where(hits[d][1], vals[1],
+                                jnp.where(hits[d][2], vals[2], vals[3])))
+            for d in range(4)
+        ]
+
+    if drain_particles:
+        moved_nd = [jnp.where(drain_s[e], 0.0, moved_s[e]) for e in range(4)]
+        deltas = demux(moved_nd)
+        # a drain empties the cell (h_water → exactly 0 < the 1e-3 gate),
+        # so at most one sub-step drains: route that one volume
+        moved_dr = [jnp.where(drain_s[e], moved_s[e], 0.0) for e in range(4)]
+        drain_out = demux(moved_dr)
+    else:
+        deltas = demux(moved_s)
+        drain_out = [jnp.zeros_like(pool_snapshot) for _ in range(4)]
     return h_water, deltas, drain_out
 
 
+def _pair_iotas(shape, row0: int):
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return j, col
+
+
+def _pair_geo_mask(shape, xoff: int, zoff: int, res: int, row0: int = 0):
+    """Geometric lattice mask for one phase on the pair layout: column
+    parity per lattice row j (global z = 2j + zoff) ∧ in-bounds rows
+    (window ghost rows are inactive)."""
+    r2 = res // 2
+    j, col = _pair_iotas(shape, row0)
+    mask = (col % 2) == ((xoff + j) % 2)
+    return mask & (j >= 0) & (j < r2)
+
+
+def _shift_down_row(x):  # out[k] = x[k-1]; row 0 value unused (where'd out)
+    return jnp.concatenate([x[:1], x[:-1]], 0)
+
+
+def _shift_up_row(x):    # out[k] = x[k+1]; last row unused
+    return jnp.concatenate([x[1:], x[-1:]], 0)
+
+
+def _pair_pre(a_h, c_h, zoff: int, res: int, row0: int = 0):
+    """Phase-invariant precompute for _phase_pair: the four neighbor-height
+    maps and the ``h_land >= n_height`` drain-eligibility compares.
+    Heights never change during pool automata, so callers (the XLA scan
+    and the fused pallas kernels) compute this ONCE per pool call / launch
+    per lattice orientation instead of once per phase."""
+    r2 = res // 2
+    j, _ = _pair_iotas(a_h.shape, row0)
+    if zoff == 0:
+        up_h = c_h                                               # z+1 = C[j]
+        down_h = jnp.where(j == 0, a_h, _shift_down_row(c_h))    # z-1; j=0 self
+    else:
+        up_h = jnp.where(j == r2 - 1, a_h, _shift_up_row(c_h))   # z+1; last self
+        down_h = c_h                                             # z-1 = C[j]
+    n_height = [up_h, shift_clamped(a_h, 0, 1), down_h,
+                shift_clamped(a_h, 0, -1)]
+    hl_ge_nh = [a_h >= n_height[d] for d in range(4)]
+    return {"n_height": n_height, "hl_ge_nh": hl_ge_nh}
+
+
 def _phase_pair(a_h, c_h, a_p, c_p, xoff: int, zoff: int,
-                drain_particles: bool, res: int, row0: int = 0):
+                drain_particles: bool, res: int, row0: int = 0,
+                pre=None, geo_mask=None):
     """One phase on the (active, complement) row-lattice pair.
 
     ``a_*`` are the ACTIVE rows for this phase (z ≡ zoff mod 2), ``c_*``
@@ -246,38 +343,32 @@ def _phase_pair(a_h, c_h, a_p, c_p, xoff: int, zoff: int,
     ``row0``: global lattice row of array row 0.  The pallas pair kernel
     passes halo windows with row0 = block_start - halo; rows mapping
     outside [0, res/2) are ghosts (masked inactive), and all border logic
-    keys on the global lattice row."""
+    keys on the global lattice row.
+
+    ``pre`` / ``geo_mask``: hoisted _pair_pre / _pair_geo_mask results
+    (phase-invariant; recomputed here when not supplied)."""
     r2 = res // 2
+    j, col = _pair_iotas(a_p.shape, row0)
+    if geo_mask is None:
+        geo_mask = _pair_geo_mask(a_p.shape, xoff, zoff, res, row0)
+    if pre is None:
+        pre = _pair_pre(a_h, c_h, zoff, res, row0)
 
-    # column-parity mask per lattice row j (global z = 2j + zoff)
-    j = jax.lax.broadcasted_iota(jnp.int32, a_p.shape, 0) + row0
-    col = jax.lax.broadcasted_iota(jnp.int32, a_p.shape, 1)
-    mask = (col % 2) == ((xoff + j) % 2)
-    mask = mask & (j >= 0) & (j < r2)  # window ghost rows are inactive
-    active = mask & (a_p > 0.0)
-
-    # vertical neighbors from the complementary lattice (clamped at the
-    # global border by substituting the active row itself — SafeIdx alias)
-    def shift_down(x):  # out[k] = x[k-1]; row 0 value unused (where'd out)
-        return jnp.concatenate([x[:1], x[:-1]], 0)
-
-    def shift_up(x):    # out[k] = x[k+1]; last row unused
-        return jnp.concatenate([x[1:], x[-1:]], 0)
-
+    # vertical water neighbors from the complementary lattice (clamped at
+    # the global border by substituting the active row itself — SafeIdx
+    # alias); waters change every phase so these are NOT hoistable
     if zoff == 0:
-        up_h, up_p = c_h, c_p                                    # z+1 = C[j]
-        down_h = jnp.where(j == 0, a_h, shift_down(c_h))          # z-1; j=0 self
-        down_p = jnp.where(j == 0, a_p, shift_down(c_p))
+        up_p = c_p                                               # z+1 = C[j]
+        down_p = jnp.where(j == 0, a_p, _shift_down_row(c_p))    # z-1; j=0 self
     else:
-        up_h = jnp.where(j == r2 - 1, a_h, shift_up(c_h))         # z+1; last self
-        up_p = jnp.where(j == r2 - 1, a_p, shift_up(c_p))
-        down_h, down_p = c_h, c_p                                 # z-1 = C[j]
+        up_p = jnp.where(j == r2 - 1, a_p, _shift_up_row(c_p))   # z+1; last self
+        down_p = c_p                                             # z-1 = C[j]
 
-    n_height = [up_h, shift_clamped(a_h, 0, 1), down_h, shift_clamped(a_h, 0, -1)]
     n_water = [up_p, shift_clamped(a_p, 0, 1), down_p, shift_clamped(a_p, 0, -1)]
 
     h_water, deltas, drain_out = _phase_core(
-        n_height, n_water, a_h, a_p, active, drain_particles
+        pre["n_height"], n_water, a_h, a_p, geo_mask, drain_particles,
+        hl_ge_nh=pre["hl_ge_nh"],
     )
 
     # global-border self-return bands on the lattice
@@ -304,8 +395,7 @@ def _phase_pair(a_h, c_h, a_p, c_p, xoff: int, zoff: int,
             c_acc = c_acc + dl[2]
         return a_acc, c_acc
 
-    new_a = jnp.where(active, h_water, a_p)
-    new_a, new_c = scatter(new_a, c_p, deltas)
+    new_a, new_c = scatter(h_water, c_p, deltas)
     if drain_particles:
         da, dc = scatter(jnp.zeros_like(a_p), jnp.zeros_like(c_p), drain_out)
     else:
@@ -383,7 +473,6 @@ def _phase_quad(h_act, h_side, h_c_p, h_c_q,
     u0 = u == 0
     u1 = u == 1
     inb = (j >= 0) & (j < r2)
-    active = inb & (p_act > 0.0)
 
     def shift_down_row(x):   # out[j] = x[j-1]; row 0 clamped (masked off)
         return jnp.concatenate([x[:1], x[:-1]], 0)
@@ -425,7 +514,7 @@ def _phase_quad(h_act, h_side, h_c_p, h_c_q,
 
     h_water, deltas, drain_out = _phase_core(
         [n0_h, n1_h, n2_h, n3_h], [n0_w, n1_w, n2_w, n3_w],
-        h_act, p_act, active, drain_particles,
+        h_act, p_act, inb, drain_particles,
     )
 
     # --- scatter (per-cell add order mirrors _phase_pair's) -----------------
@@ -453,9 +542,8 @@ def _phase_quad(h_act, h_side, h_c_p, h_c_q,
             acc_cp = acc_cp + dl[2]                               # down → C_p[j]
         return acc_act, acc_side, acc_cp, acc_cq
 
-    new_act = jnp.where(active, h_water, p_act)
     new_act, new_side, new_cp, new_cq = scatter(
-        new_act, p_side, p_c_p, p_c_q, deltas
+        h_water, p_side, p_c_p, p_c_q, deltas
     )
     if drain_particles:
         z = jnp.zeros_like(p_act)
@@ -575,6 +663,14 @@ def pool_automata(height, pool, iterations: int = 10, drain_particles: bool = Tr
     d_even = jnp.zeros_like(p_even)
     d_odd = jnp.zeros_like(p_odd)
 
+    # phase-invariant hoists: heights never change across the scan, so the
+    # neighbor-height maps / drain-eligibility compares / lattice masks are
+    # computed once here and closed over by the branches
+    pre_z = (_pair_pre(h_even, h_odd, 0, res),
+             _pair_pre(h_odd, h_even, 1, res))
+    masks = {(xo, zo): _pair_geo_mask(p_even.shape, xo, zo, res)
+             for xo in (0, 1) for zo in (0, 1)}
+
     # One phase per scan step, selected by lax.switch: XLA's optimizer cost
     # grows super-linearly when several phases are unrolled into one body
     # (the 4-phase body took minutes to compile on CPU; four 1-phase
@@ -586,14 +682,16 @@ def pool_automata(height, pool, iterations: int = 10, drain_particles: bool = Tr
                 p_even, p_odd, d_even, d_odd = c
                 p_even, p_odd, da, dc = _phase_pair(
                     h_even, h_odd, p_even, p_odd, xoff, 0,
-                    drain_particles, res)
+                    drain_particles, res,
+                    pre=pre_z[0], geo_mask=masks[(xoff, 0)])
                 return (p_even, p_odd, d_even + da, d_odd + dc)
         else:
             def br(c):
                 p_even, p_odd, d_even, d_odd = c
                 p_odd, p_even, da, dc = _phase_pair(
                     h_odd, h_even, p_odd, p_even, xoff, 1,
-                    drain_particles, res)
+                    drain_particles, res,
+                    pre=pre_z[1], geo_mask=masks[(xoff, 1)])
                 return (p_even, p_odd, d_even + dc, d_odd + da)
         return br
 

@@ -178,8 +178,9 @@ def pool_automata_pallas_pair(height, pool, iterations: int = 10,
     exceeds the 100 MB scoped-VMEM limit)."""
     res = height.shape[0]
     if block is None:
-        r2 = res // 2
-        block = next(b for b in (256, 128, 64, 32, 16, 8) if r2 % b == 0)
+        from ..ops.pallas.blocks import pick_block
+
+        block = pick_block(res // 2, 4, cols=res)
     h_e, h_o = _pool._halfrow_views(height, 0)
     p_e, p_o = _pool._halfrow_views(pool, 0)
     hpe, hpo = _pad4(h_e), _pad4(h_o)
@@ -358,15 +359,27 @@ def _fused_pair_call(h_e_pad, h_o_pad, p_e_pad, p_o_pad, d_e_pad, d_o_pad,
         h_e = scratch[0][:]
         h_o = scratch[1][:]
 
+        # heights are constant across every phase of the launch: hoist the
+        # neighbor-height maps, drain-eligibility compares, and lattice
+        # masks out of the phase bodies (they'd otherwise be recomputed
+        # 4·ppl times per launch with no cross-launch CSE possible)
+        pre_z = (_pool._pair_pre(h_e, h_o, 0, res, row0=row0),
+                 _pool._pair_pre(h_o, h_e, 1, res, row0=row0))
+        masks = {
+            (xo, zo): _pool._pair_geo_mask(h_e.shape, xo, zo, res, row0)
+            for xo in (0, 1) for zo in (0, 1)
+        }
+
         def apply_phase(c, xo, zo):
             p_e, p_o, d_e, d_o = c
             if zo == 0:
                 na, nc, da, dc = _pool._phase_pair(
                     h_e, h_o, p_e, p_o, xo, 0, drain_particles, res,
-                    row0=row0)
+                    row0=row0, pre=pre_z[0], geo_mask=masks[(xo, 0)])
                 return na, nc, d_e + da, d_o + dc
             na, nc, da, dc = _pool._phase_pair(
-                h_o, h_e, p_o, p_e, xo, 1, drain_particles, res, row0=row0)
+                h_o, h_e, p_o, p_e, xo, 1, drain_particles, res, row0=row0,
+                pre=pre_z[1], geo_mask=masks[(xo, 1)])
             return nc, na, d_e + dc, d_o + da
 
         carry = tuple(scratch[n][:] for n in (2, 3, 4, 5))
@@ -428,9 +441,9 @@ def pool_automata_pallas_pair_fused(height, pool, iterations: int = 10,
     halo = max(-(-2 * ppl // 4) * 4, 4)
     r2 = res // 2
     if block is None:
-        block = next(
-            b for b in (256, 128, 64, 32, 16, 8) if r2 % b == 0 and b >= halo
-        )
+        from ..ops.pallas.blocks import pick_block
+
+        block = pick_block(r2, halo, cols=res)
     full_seq = tuple(_pool._PHASE_ORDER) * iterations
     n_launches = (4 * iterations) // ppl
     seqs = []
@@ -518,9 +531,9 @@ def pool_automata_pallas_quad(height, pool, iterations: int = 10,
     halo = max(-(-2 * ppl // 4) * 4, 4)
     r2 = res // 2
     if block is None:
-        block = next(
-            b for b in (256, 128, 64, 32, 16, 8) if r2 % b == 0 and b >= halo
-        )
+        from ..ops.pallas.blocks import pick_block
+
+        block = pick_block(r2, halo, cols=res // 2)
     if unroll is None:
         # fori_loop+switch default: the unrolled multi-phase body executes
         # pathologically in interpret mode (tests), and on-chip the quad

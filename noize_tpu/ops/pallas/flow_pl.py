@@ -176,10 +176,9 @@ def flow_map_fused(height, iterations: int = 5, norm_min=-0.1,
     res = height.shape[0]
     halo = max(-(-(2 * iterations + 1) // 4) * 4, 4)
     if block is None:
-        block = next(
-            b for b in (256, 128, 64, 32, 16, 8)
-            if res % b == 0 and b >= halo
-        )
+        from .blocks import pick_block
+
+        block = pick_block(res, halo, cols=res)
     assert block >= halo, (block, halo)
     from .batching import sequential_vmap
 

@@ -106,10 +106,9 @@ def thermal_erosion_fused(data, talus, increment_ratio, height_width_ratio,
     res = data.shape[0]
     halo = max(-(-2 * 4 * iterations // 4) * 4, 4)
     if block is None:
-        block = next(
-            b for b in (256, 128, 64, 32, 16, 8)
-            if res % b == 0 and b >= halo
-        )
+        from .blocks import pick_block
+
+        block = pick_block(res, halo, cols=res)
     assert block >= halo, (block, halo)
     talus_rad = (float(talus) / 90.0) * 3.14159 / 2.0
     # identical op sequence AND implementation to thermal_erosion's
