@@ -154,18 +154,39 @@ class PipelineStateManager:
         when the checkpoint is complete) so callers can detect a partial
         checkpoint; each failure is also logged."""
         failures: Dict[str, Exception] = {}
+        skipped = []
         for name in self.names():
             with self._mutex:
                 value = self._buffers.get(name)
-            if value is None or isinstance(value, (list, dict, set, tuple)):
-                continue  # non-array container (lists/dicts/refs) — not saved
-            # no np.asarray probe here: it would materialize every device
-            # array to host a second time (~2 s per 16 MB map over the
-            # tunnel) and a probe failure must surface, not skip silently
+            if value is None or isinstance(value, (dict, set)):
+                continue  # non-array container (dicts/refs) — not saved
+            if isinstance(value, (list, tuple)):
+                # numeric sequences ARE checkpointed (they always were);
+                # only ragged/object payloads are skipped — probing a host
+                # container is cheap (the no-probe rule below is about
+                # device arrays, which cost a tunnel readback)
+                try:
+                    if np.asarray(value).dtype == object:
+                        skipped.append(name)
+                        continue
+                except Exception:
+                    skipped.append(name)
+                    continue
+            # no np.asarray probe for array buffers: it would materialize
+            # every device array to host a second time (~2 s per 16 MB map
+            # over the tunnel) and a probe failure must surface, not skip
+            # silently
             try:
                 self.save_buffer_to_disk(name, async_=async_)
             except Exception as e:  # disk full, IO error, non-array buffer
                 failures[name] = e
+        if skipped:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "save_all: skipped %d non-numeric container buffer(s): %s",
+                len(skipped), skipped,
+            )
         if self.serde is not None and async_:
             try:
                 self.serde.flush()

@@ -160,8 +160,10 @@ def _sharded_descent(mesh: Mesh, world: WorldState, parts: Particles,
              check_vma=False)
     def body(h, pw, fl, pl, part):
         lr, lc = h.shape
-        assert H <= lr and H <= lc, (
-            f"halo {H} exceeds shard block {(lr, lc)}")
+        if H > lr or H > lc:
+            raise ValueError(
+                f"descent halo {H} exceeds shard block {(lr, lc)}; use a"
+                " smaller chunk, fewer shards, or a larger field")
         row0, col0 = _origin((lr, lc))
         er, ec = lr + 2 * H, lc + 2 * H
 
@@ -249,6 +251,13 @@ def _disperse_axis_sharded(s, taps, axis_name: str, dim: int):
     taps = np.asarray(taps, np.float32)
     k = len(taps)
     off = (k - 1) // 2
+    n_dim = s.shape[dim]
+    if off > n_dim:
+        raise ValueError(
+            f"disperse kernel half-width {off} exceeds the shard block"
+            f" ({n_dim} cells along {axis_name!r}); the edge folds would"
+            " need neighbor-of-neighbor strips — use fewer shards or a"
+            " smaller PILING_RADIUS")
     ext = exchange_axis(s, off, axis_name, dim, border="zero")
     ext = jnp.moveaxis(ext, dim, -1)
     s_m = jnp.moveaxis(s, dim, -1)
@@ -321,8 +330,10 @@ def _sharded_pool_automata(mesh: Mesh, height, pool, res: int,
              out_specs=(_SPEC, _SPEC), check_vma=False)
     def body(h, p):
         lr, lc = h.shape
-        assert H <= lr and H <= lc, (
-            f"halo {H} exceeds shard block {(lr, lc)}")
+        if H > lr or H > lc:
+            raise ValueError(
+                f"pool halo {H} exceeds shard block {(lr, lc)}; use fewer"
+                " shards or a larger field")
         row0, col0 = _origin((lr, lc))
         ext_h = exchange_2d(h, H)
         grow = (lax.broadcasted_iota(jnp.int32, ext_h.shape, 0)

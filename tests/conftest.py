@@ -25,3 +25,25 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/noize_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# Inner-loop subset: `pytest -m quick` runs the oracle/parity cores (noise,
+# fractal, filters, flow, curves, pool/thermal/sediment oracles) in a few
+# minutes — the full suite takes ~13 min on this one-core box.  Module-level
+# marking keeps the list in one place.
+_QUICK_MODULES = {
+    "test_core", "test_noise", "test_fractal", "test_filters", "test_flow",
+    "test_curves", "test_misc", "test_erosion",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "quick: fast oracle/parity core (inner-loop subset)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__ in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
