@@ -243,12 +243,20 @@ def _phase_core(n_height, n_water, h_land, pool_snapshot, geo_mask,
             for f in fields
         )
 
+    def pick_bool(e, f):
+        """Bool-field variant of pick: masked or-reduction over the
+        permutation (jnp.where on i1 operands hits an unsupported i8→i1
+        truncation in Mosaic)."""
+        return ((hits[0][e] & f[0]) | (hits[1][e] & f[1])
+                | (hits[2][e] & f[2]) | (hits[3][e] & f[3]))
+
     h_water = pool_snapshot
     t_height = h_land + h_water
     moved_s = []
     drain_s = []
     for e in range(4):
-        key_e, bw_e, elig_e = pick(e, (keys, n_water, elig))
+        key_e, bw_e = pick(e, (keys, n_water))
+        elig_e = pick_bool(e, elig)
         diff_v = t_height - key_e
         can = geo_mask & (h_water >= 1e-3)
         is_drain = can & elig_e

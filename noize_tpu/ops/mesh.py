@@ -98,20 +98,27 @@ def _positions_xz(resolution: int, tile_size):
     return xs, zs
 
 
-def _assemble(resolution, t, l, rgt, u, d, tile_size, height, uv_denom):
-    r = resolution
-    xs, zs = _positions_xz(r, tile_size)
+def vertex_fields(t, l, rgt, u, d, vx_f, vz_f, step, height, uv_denom):
+    """Per-vertex elementwise math — positions/normals/tangents/uvs from
+    the five height taps and f32 vertex coordinates.  Shared verbatim by
+    the single-device grid assembly below and
+    ``parallel.sharded_mesh.sharded_heightmap_mesh`` (same op order ⇒ the
+    sharded emission is bit-exact with this path).  Returns
+    (pos[..,3], n[..,3], tan[..,4], uv[..,2]) stacked on a new last axis.
+
+    Quirks preserved: vertex x == 0 gets position −(0.5·step) while x ≥ 1
+    gets x·step − 0.5 (SquareGridHeightMap.cs:85,92 — z has NO such
+    special case); tangent.xyz = cross(t2, t1) with t1 = (4, (r−l)/2, 0),
+    t2 = (0, (u−d)/2, 4) → (−4·dx, 16, −4·dz), w stays 0 (never set in
+    the reference's Vertex); NormalStrength = 8 (HeightMapMeshJob.cs:41)."""
     pos = jnp.stack(
         [
-            jnp.broadcast_to(xs[None, :], (r + 1, r + 1)),
+            jnp.where(vx_f == 0.0, -(0.5 * step), vx_f * step - 0.5),
             t * height,
-            jnp.broadcast_to(zs[:, None], (r + 1, r + 1)),
+            vz_f * step - 0.5,
         ],
         -1,
     )
-    # tangent.xyz = cross(t2, t1) with t1 = (4, (r−l)/2, 0),
-    # t2 = (0, (u−d)/2, 4)  →  (−4·dx, 16, −4·dz); w stays 0 (never set in
-    # the reference's Vertex)
     dx = (rgt - l) * 0.5
     dz = (u - d) * 0.5
     tan = jnp.stack(
@@ -126,13 +133,23 @@ def _assemble(resolution, t, l, rgt, u, d, tile_size, height, uv_denom):
         -1,
     )
     n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
-    iu = jnp.arange(r + 1, dtype=_F32) / uv_denom
-    uv = jnp.stack(
-        [
-            jnp.broadcast_to(iu[None, :], (r + 1, r + 1)),
-            jnp.broadcast_to(iu[:, None], (r + 1, r + 1)),
-        ],
-        -1,
+    # explicit f32 reciprocal multiply: XLA strength-reduces division by a
+    # constant to this form anyway (under allow_excess_precision), but the
+    # shard_map constant folder performs TRUE division — writing the mul
+    # form keeps single-device and sharded emission bit-identical
+    recip = np.float32(1.0) / np.float32(uv_denom)
+    uv = jnp.stack([vx_f * recip, vz_f * recip], -1)
+    return pos, n, tan, uv
+
+
+def _assemble(resolution, t, l, rgt, u, d, tile_size, height, uv_denom):
+    r = resolution
+    step = tile_size / r
+    vx = jnp.arange(r + 1, dtype=_F32)
+    vx_f = jnp.broadcast_to(vx[None, :], (r + 1, r + 1))
+    vz_f = jnp.broadcast_to(vx[:, None], (r + 1, r + 1))
+    pos, n, tan, uv = vertex_fields(
+        t, l, rgt, u, d, vx_f, vz_f, step, height, uv_denom
     )
     nverts = (r + 1) * (r + 1)
     return pos.reshape(nverts, 3), n.reshape(nverts, 3), tan.reshape(nverts, 4), uv.reshape(nverts, 2)

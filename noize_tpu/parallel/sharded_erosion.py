@@ -464,7 +464,8 @@ def sharded_tile_step(mesh: Mesh, meta: TileSetMeta,
                       hurst: float = 0.4, noise_size: float = 1700.0,
                       blur_width: int = 5, blur_sigma: float = 1.0,
                       blur_iterations: int = 17, flow_iterations: int = 8,
-                      erosion_cycles: int = None, chunk: int = 8):
+                      erosion_cycles: int = None, chunk: int = 8,
+                      emit_mesh: bool = False):
     """The flagship tile step (app.flagship.make_tile_step) on ONE grid
     sharded P('x','y') over the mesh: sharded fractal noise → Gauss chain →
     flow map → N sharded erosion cycles.  Returns the final SimState plus
@@ -489,6 +490,15 @@ def sharded_tile_step(mesh: Mesh, meta: TileSetMeta,
     for _ in range(cycles):
         state = sharded_erosion_cycle(mesh, state, settings, meta,
                                       chunk=chunk)
+    if emit_mesh:
+        # per-cycle mesh regeneration parity (LiveErosion.cs:302-315) —
+        # per-shard vertex blocks, 1-cell halo for the normal stencil
+        from .sharded_mesh import sharded_heightmap_mesh
+
+        mesh_fields = sharded_heightmap_mesh(
+            mesh, state.world.height, meta.tile_res, res,
+            float(meta.height), float(meta.tile_size))
+        return state, flow_v, mesh_fields
     return state, flow_v
 
 
@@ -498,13 +508,16 @@ class ShardedErosionSim:
     sharded P('x','y') on the mesh."""
 
     def __init__(self, mesh: Mesh, height, settings: ErosionSettings = None,
-                 meta: TileSetMeta = None, seed: int = 0, chunk: int = 8):
+                 meta: TileSetMeta = None, seed: int = 0, chunk: int = 8,
+                 state_manager=None, tile_pos=(0, 0)):
         from ..erosion.sim import init_state
         from .device_mesh import field_sharding
 
         self.mesh = mesh
         self.chunk = chunk
         self.settings = settings or ErosionSettings()
+        self.state_manager = state_manager
+        self.tile_pos = tuple(tile_pos)
         res = int(height.shape[0])
         self.meta = meta or TileSetMeta(
             tile_res=res, tile_size=res, generator_res=res, height=1000,
@@ -536,6 +549,16 @@ class ShardedErosionSim:
             self.cycle_count += 1
         return self.state
 
+    def mesh_fields(self, variant: str = "overshoot"):
+        """Per-vertex mesh channels for the current height map, sharded
+        like the world (ErosionSim's mesher analog — LiveErosion.cs:302)."""
+        from .sharded_mesh import sharded_heightmap_mesh
+
+        return sharded_heightmap_mesh(
+            self.mesh, self.state.world.height, self.meta.tile_res,
+            self.meta.generator_res, float(self.meta.height),
+            float(self.meta.tile_size), variant=variant)
+
     def reset_land(self):
         from ..erosion.sim import init_state
 
@@ -548,4 +571,77 @@ class ShardedErosionSim:
             self.state,
             world=replace(w, pool=z, flow=z, track=z),
             drain_water=jnp.zeros_like(self.state.drain_water),
+        )
+
+    # --- persistence (SaveErosionState parity, LiveErosion.cs:111-116) ------
+
+    # the reference saves height/stream/pool; the sharded production path
+    # additionally persists track/plants/drain-queue so a resumed sim is
+    # BIT-EXACT — the reference silently drops its in-flight drain queue
+    # and track decay state on save/reload (documented extension)
+    _SAVE_ALIASES = (
+        ("TERRAIN_HEIGHT", ("world", "height")),
+        ("PARTERO_WATERMAP_STREAM", ("world", "flow")),
+        ("PARTERO_WATERMAP_POOL", ("world", "pool")),
+        ("PARTERO_WATERMAP_TRACK", ("world", "track")),
+        ("PARTERO_PLANTMAP", ("world", "plants")),
+        ("PARTERO_DRAIN_QUEUE", ("drain_water",)),
+    )
+
+    def _buffer_name(self, alias: str) -> str:
+        return self.meta.buffer_name(self.tile_pos, alias)
+
+    def _state_arrays(self):
+        for alias, path in self._SAVE_ALIASES:
+            obj = self.state
+            for attr in path:
+                obj = getattr(obj, attr)
+            yield alias, path, obj
+
+    def save_erosion_state(self):
+        """Checkpoint the full sim state through the state store + serde.
+
+        The store's serializer materializes to host, which gathers the
+        sharded arrays (single-process mesh: every shard is addressable;
+        multi-host pods would use per-shard manifests via
+        jax.experimental.multihost_utils — not exercised on this rig)."""
+        if self.state_manager is None:
+            raise RuntimeError("no state manager attached")
+        self.original_height = self.state.world.height
+        sm = self.state_manager
+        for alias, _, arr in self._state_arrays():
+            name = self._buffer_name(alias)
+            sm.set_buffer(name, arr)
+            sm.save_buffer_to_disk(name)
+
+    def restore_erosion_state(self):
+        """Rebuild the sim state from the store (restore-on-get pulls from
+        disk when needed), re-sharding every map P('x','y') on the mesh —
+        a sharded sim resumes bit-exact from a checkpoint (tested).  The
+        PRNG key is NOT persisted (reference parity: the RNG stream
+        restarts); set ``sim.state = replace(sim.state, key=...)`` for a
+        deterministic continuation."""
+        from ..erosion.sim import init_state
+        from .device_mesh import field_sharding
+
+        if self.state_manager is None:
+            raise RuntimeError("no state manager attached")
+        sm = self.state_manager
+        sh = field_sharding(self.mesh)
+        maps = {
+            alias: jax.device_put(
+                jnp.asarray(sm.get_buffer(self._buffer_name(alias)), _F32),
+                sh)
+            for alias, _ in self._SAVE_ALIASES
+        }
+        self.original_height = maps["TERRAIN_HEIGHT"]
+        self.state = init_state(self.original_height, self.state.key)
+        self.state = replace(
+            self.state,
+            world=replace(self.state.world,
+                          flow=maps["PARTERO_WATERMAP_STREAM"],
+                          pool=maps["PARTERO_WATERMAP_POOL"],
+                          track=maps["PARTERO_WATERMAP_TRACK"],
+                          plants=maps["PARTERO_PLANTMAP"]),
+            drain_water=maps["PARTERO_DRAIN_QUEUE"],
         )

@@ -376,3 +376,153 @@ class TestShardedErosionCycle:
         sim.reset_land()
         np.testing.assert_array_equal(
             np.asarray(sim.height_map), h)
+
+
+class TestShardedMesh:
+    @pytest.mark.parametrize("margin", [0, 8])
+    @pytest.mark.parametrize("variant", ["overshoot", "square"])
+    def test_vertices_bit_exact(self, mesh, margin, variant):
+        """Sharded per-shard mesh emission equals the single-device grid
+        generators bit-for-bit (shared vertex_fields elementwise core +
+        halo-clamp == edge-pad taps)."""
+        from noize_tpu.ops import mesh as MH
+        from noize_tpu.parallel import sharded_mesh as SM
+
+        inp = 64
+        r = inp - 2 * margin
+        a, ash = sharded_field(mesh, inp)
+        fields = SM.sharded_heightmap_mesh(
+            mesh, ash, r, inp, 500.0, float(r), variant=variant)
+        got = SM.mesh_arrays_from_fields(
+            fields, r, inp, (mesh.shape["x"], mesh.shape["y"]))
+        fn = (MH.heightmap_mesh_overshoot if variant == "overshoot"
+              else MH.heightmap_mesh)
+        want = fn(jnp.asarray(a), r, inp, 500.0, float(r))
+        for name in ("positions", "normals", "tangents", "uvs"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(want, name)), err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(got.indices), np.asarray(want.indices))
+
+    @pytest.mark.parametrize("margin", [0, 8])
+    def test_shard_indices_partition_global_triangles(self, margin):
+        """Per-shard uint32 triangle lists (global vertex ids) are a
+        partition of grid_indices' triangles."""
+        from noize_tpu.ops.mesh import grid_indices
+        from noize_tpu.parallel.sharded_mesh import shard_mesh_indices
+
+        inp = 64
+        r = inp - 2 * margin
+        per = shard_mesh_indices(r, inp, (4, 2))
+        tris = np.concatenate([v.reshape(-1, 3)
+                               for v in per.values() if v.size])
+        want = grid_indices(r).astype(np.uint32).reshape(-1, 3)
+        assert tris.shape == want.shape
+        order = np.lexsort(tris.T[::-1])
+        worder = np.lexsort(want.T[::-1])
+        np.testing.assert_array_equal(tris[order], want[worder])
+        assert all(v.dtype == np.uint32 for v in per.values())
+
+    @pytest.mark.parametrize("margin", [0, 8])
+    def test_shard_vertex_window_covers_grid(self, margin):
+        """The per-shard real-vertex windows (one row/col overlap) cover
+        the whole (r+1)² grid and never exceed it."""
+        from noize_tpu.parallel.sharded_mesh import shard_vertex_window
+
+        inp = 64
+        r = inp - 2 * margin
+        covered = np.zeros((r + 1, r + 1), bool)
+        for i in range(4):
+            for j in range(2):
+                (rs, cs), (vz0, vx0) = shard_vertex_window(
+                    r, inp, (4, 2), (i, j))
+                assert vz0 + rs.stop <= r + 1 and vx0 + cs.stop <= r + 1
+                covered[vz0:vz0 + rs.stop, vx0:vx0 + cs.stop] = True
+        assert covered.all()
+
+    def test_local_indices_match_global(self):
+        """Per-shard LOCAL triangle ids address the same vertices as the
+        global ids through the shard's block layout."""
+        from noize_tpu.parallel.sharded_mesh import shard_mesh_indices
+
+        inp, margin = 64, 8
+        r = inp - 2 * margin
+        lr, lc = inp // 4, inp // 2
+        glob = shard_mesh_indices(r, inp, (4, 2), local=False)
+        loc = shard_mesh_indices(r, inp, (4, 2), local=True)
+        for (i, j), g in glob.items():
+            lo = loc[(i, j)]
+            assert lo.shape == g.shape
+            if g.size == 0:
+                continue
+            gz, gx = g // (r + 1), g % (r + 1)
+            want_local = (gz - i * lr) * (lc + 1) + (gx - j * lc)
+            np.testing.assert_array_equal(lo, want_local.astype(np.uint32))
+
+    def test_sim_mesh_fields(self, mesh):
+        from noize_tpu.erosion.params import ErosionSettings
+        from noize_tpu.parallel.sharded_erosion import ShardedErosionSim
+
+        rng = np.random.default_rng(29)
+        h = rng.uniform(0.2, 0.8, (32, 32)).astype(np.float32)
+        sim = ShardedErosionSim(
+            mesh, h,
+            settings=ErosionSettings(PARTICLES_PER_CYCLE=8, MAXAGE=4,
+                                     WATER_STEPS=1, CYCLES=1,
+                                     PILING_RADIUS=4),
+            chunk=4)
+        f = sim.mesh_fields()
+        nx, ny = mesh.shape["x"], mesh.shape["y"]
+        assert f["positions"].shape == (32 + nx, 32 + ny, 3)
+        assert np.isfinite(np.asarray(f["normals"])).all()
+
+
+class TestShardedCheckpoint:
+    def test_save_and_resume_bit_exact(self, mesh, tmp_path):
+        """A sharded sim checkpoints through the store/serde and a FRESH
+        sharded sim resumes bit-exact (same maps + same key ⇒ identical
+        next cycle)."""
+        from noize_tpu.core.store import PipelineStateManager
+        from noize_tpu.erosion.params import ErosionSettings
+        from noize_tpu.parallel.sharded_erosion import ShardedErosionSim
+
+        rng = np.random.default_rng(31)
+        h = rng.uniform(0.2, 0.8, (32, 32)).astype(np.float32)
+        st = ErosionSettings(PARTICLES_PER_CYCLE=16, MAXAGE=4,
+                             WATER_STEPS=2, CYCLES=1, PILING_RADIUS=4)
+        sm = PipelineStateManager(str(tmp_path / "store"))
+        a = ShardedErosionSim(mesh, h, settings=st, chunk=4,
+                              state_manager=sm)
+        a.step(1)
+        a.save_erosion_state()
+        key_at_save = a.state.key
+
+        # fresh manager over the same dir: restore-on-get pulls from disk
+        sm2 = PipelineStateManager(str(tmp_path / "store"))
+        b = ShardedErosionSim(mesh, np.zeros_like(h), settings=st, chunk=4,
+                              state_manager=sm2)
+        b.restore_erosion_state()
+        from dataclasses import replace as _replace
+
+        b.state = _replace(b.state, key=key_at_save)
+        for name in ("height", "pool", "flow", "track", "plants"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(b.state.world, name)),
+                np.asarray(getattr(a.state.world, name)), err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(b.state.drain_water), np.asarray(a.state.drain_water))
+
+        a.step(1)
+        b.step(1)
+        for name in ("height", "pool", "flow", "track"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(b.state.world, name)),
+                np.asarray(getattr(a.state.world, name)), err_msg=name)
+
+    def test_save_requires_manager(self, mesh):
+        from noize_tpu.parallel.sharded_erosion import ShardedErosionSim
+
+        sim = ShardedErosionSim(mesh, np.zeros((16, 16), np.float32))
+        with pytest.raises(RuntimeError):
+            sim.save_erosion_state()
