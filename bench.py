@@ -78,7 +78,7 @@ def _measure_rtt(pings: int = 5):
 
 
 def _time_chained(body_fn, reps: int = 4, rtt_ms: float = None,
-                  with_cost: bool = False):
+                  with_cost: bool = False, with_floor: bool = False):
     """Ground-truth device timing: scan ``reps`` executions of ``body_fn``
     (key -> scalar) inside one jit, read back the 4-byte total, subtract one
     dispatch RTT.  See BENCH_HISTORY.md — readiness signals and bulk
@@ -86,7 +86,14 @@ def _time_chained(body_fn, reps: int = 4, rtt_ms: float = None,
 
     ``with_cost``: also return XLA's per-call cost analysis (flops / bytes
     accessed, divided by ``reps``) — the tunnel-compatible substitute for
-    jax.profiler traces."""
+    jax.profiler traces.
+
+    ``with_floor``: also return the entry's measurement floor — the
+    RTT-jitter residual spread across ``reps`` (max(wall) − min(wall)
+    observed on the trivial ping, divided by reps).  Entries within ~2× of
+    their floor are indistinguishable from each other: the driver tags
+    them ``floor_bound`` so sub-ms phases stop masquerading as distinct
+    measurements."""
     import jax
     import jax.numpy as jnp
 
@@ -123,9 +130,33 @@ def _time_chained(body_fn, reps: int = 4, rtt_ms: float = None,
         walls.append((time.perf_counter() - t0) * 1e3)
     wall = min(walls)
     ms = max(wall - rtt_ms, wall * 0.2) / reps
+    extras = []
     if with_cost:
-        return ms, cost
+        extras.append(cost)
+    if with_floor:
+        extras.append({"floor_ms": _null_floor(reps),
+                       "rtt_ms": round(rtt_ms, 1)})
+    if extras:
+        return (ms, *extras)
     return ms
+
+
+_NULL_FLOORS = {}
+
+
+def _null_floor(reps: int) -> float:
+    """The measurement floor at ``reps``: the chained-scalar method run on
+    a ~zero-cost body (one uniform sample per step).  Whatever residual
+    the tunnel adds beyond the ping RTT (scan/readback latency, jitter)
+    lands here; a real entry within ~2× of this value is an upper bound,
+    not a distinguishable measurement.  Measured once per reps value per
+    bench run, contemporaneous with the entries it labels."""
+    if reps not in _NULL_FLOORS:
+        import jax
+
+        _NULL_FLOORS[reps] = round(_time_chained(
+            lambda k: jax.random.uniform(k, ()), reps=reps), 3)
+    return _NULL_FLOORS[reps]
 
 
 def _safe(results, key, fn):
@@ -267,8 +298,14 @@ def main():
 
     def _phase(name, body, reps=8, cells=None):
         try:
-            ms, cost = _time_chained(body, reps=reps, with_cost=True)
+            ms, cost, floor = _time_chained(body, reps=reps, with_cost=True,
+                                            with_floor=True)
             entry = {"ms": round(ms, 3), "method": "chained"}
+            entry.update(floor)
+            if ms <= 2.0 * floor["floor_ms"]:
+                # within 2× of the RTT-jitter residual: the value is an
+                # upper bound, not a distinguishable measurement
+                entry["floor_bound"] = True
             if cost:
                 entry.update(cost)
                 if "gflops_per_call" in cost and ms > 0:
@@ -416,6 +453,28 @@ def main():
                cells=cells_b)
     results["phase_breakdown"] = phases
 
+    # --- interactive cycle latency (ErosionSim.step granularity at the
+    # editor-interactive 1024² size — BASELINE.md build target row) -------
+    def _ci():
+        ri = 256 if fast else 1024
+        meta_i = TileSetMeta(
+            tile_res=ri - 2 * margin, tile_size=ri - 2 * margin,
+            generator_res=ri, height=1000, margin=margin)
+        hi_ = jax.block_until_ready(jax.jit(
+            lambda: fractal(ri, 7, 0, noise_type="Simplex", octaves=13,
+                            hurst=0.4, noise_size=1700.0))())
+
+        def body(k):
+            st = init_state(hi_ + _eps(k), k)
+            out = erosion_cycle(st, es_b, meta_i)
+            return out.world.height.sum() + out.world.pool.sum()
+
+        ms, floor = _time_chained(body, reps=4, with_floor=True)
+        entry = {"ms": ms, "resolution": ri}
+        entry.update(floor)
+        return entry
+    _safe(results, "interactive_cycle_1024", _ci)
+
     # --- per-kernel throughput at saturating sizes (BASELINE.md Gcells/s) ---
     throughput = {}
     for rt in ([256] if fast else [2048, 4096]):
@@ -461,6 +520,11 @@ def main():
     r6 = 512 if fast else 8192
 
     def _c6():
+        on_tpu = jax.default_backend() == "tpu" and r6 % 256 == 0
+        if on_tpu:
+            from noize_tpu.ops.pallas.thermal_pl import thermal_erosion_fused
+            from noize_tpu.ops.pallas.flow_pl import flow_map_fused
+
         def body(k):
             x = jax.random.randint(k, (), 0, 1000).astype(jnp.float32)
             h = fractal(r6, x, 0, noise_type="Simplex", octaves=13,
@@ -470,12 +534,21 @@ def main():
                 return K.separable_series(a, taps, taps, 1.0)
 
             h = jax.lax.fori_loop(0, 17, it, h)
+            # production kernels: row-blocked fused pallas thermal + flow
+            # (blocks.pick_block caps the window for the 8192-wide field);
+            # XLA path elsewhere
+            if on_tpu:
+                h = thermal_erosion_fused(
+                    h, es_b.TALUS, es_b.THERMAL_STEP, 1.0,
+                    iterations=es_b.THERMAL_CYCLES)
+                return flow_map_fused(h, iterations=8).sum()
             h = thermal_erosion(h, es_b.TALUS, es_b.THERMAL_STEP, 1.0,
                                 iterations=es_b.THERMAL_CYCLES)
             return FL.flow_map(h, iterations=8).sum()
         ms = _time_chained(body, reps=2)
         return {"ms": ms, "gcells_per_s": r6 * r6 / ms / 1e6,
-                "pipeline": "noise13 + gauss5x17 + thermal + flow8"}
+                "pipeline": "noise13 + gauss5x17 + thermal + flow8",
+                "kernels": "fused pallas" if on_tpu else "xla"}
     _safe(results, "6_large_field_8192", _c6)
 
     # --- headline: flagship 2048² full step ---------------------------------
@@ -526,8 +599,16 @@ def main():
         wall = min(walls)
         rtt = _measure_rtt()
         ms = max(wall - rtt, wall * 0.5) / K
+        # auditability: every chained wall, the live RTT subtracted, and
+        # the per-step min/max implied by the wall spread
         results["flagship_2048"] = {
             "ms": ms, "chained_wall_ms": wall, "chained_steps": K,
+            "chained_walls_ms": [round(w, 2) for w in walls],
+            "chained_ms_min": round(max(min(walls) - rtt,
+                                        min(walls) * 0.5) / K, 3),
+            "chained_ms_max": round(max(max(walls) - rtt,
+                                        max(walls) * 0.5) / K, 3),
+            "rtt_ms_used": round(rtt, 2),
             "pipelined_ms": ms_pipe, "latency_ms": ms_lat, "all_ms": times,
             "resolution": res,
         }
