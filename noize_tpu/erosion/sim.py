@@ -183,9 +183,10 @@ def erosion_cycle(state: SimState, settings: ErosionSettings, meta: TileSetMeta)
     # TPU at production sizes, XLA half-row path elsewhere.  Kernel choice
     # is measured (BENCH_HISTORY.md): the half-row PAIR layout with all 4
     # phases of a water step fused per launch, statically unrolled, at
-    # block 128 — 12.0 ms vs 17.1 ms (per-phase pair) vs 25–30 ms (the
-    # diagonal-quadrant variants, which halve elementwise work but don't
-    # pay on Mosaic) per ×10 call at 2048².
+    # block 128 — 6.28 ms per ×10 call at 2048² with the rank-based phase
+    # core (round 3; ppl-8 measures 6.2 but compiles 2× slower, block 256
+    # exceeds the Mosaic compile, and the diagonal-quadrant variants that
+    # halve elementwise work don't pay on Mosaic: 25-30 ms).
     import jax as _jax
 
     if _jax.default_backend() == "tpu" and res % 256 == 0:
