@@ -260,3 +260,24 @@ def test_fused_kernels_batch_via_sequential_vmap():
         np.testing.assert_array_equal(
             np.asarray(pout[i]),
             np.asarray(PO.pool_automata(hb[i], pb[i], iterations=2)[0]))
+
+
+class TestBlockPicker:
+    def test_largest_fitting_block(self):
+        from noize_tpu.ops.pallas.blocks import pick_block
+
+        assert pick_block(1024, 8) == 256
+        assert pick_block(1024, 8, cols=2048) == 256
+        # wide field: the 6 MB/window cap steps the block down
+        assert pick_block(8192, 8, cols=8192) == 128
+        assert pick_block(8192, 20, cols=8192) == 128
+        # halo dominates small candidates
+        assert pick_block(1024, 80) == 256
+
+    def test_descriptive_error(self):
+        from noize_tpu.ops.pallas.blocks import pick_block
+
+        with pytest.raises(ValueError, match="row block"):
+            pick_block(100, 8)  # 100 not a multiple of any candidate
+        with pytest.raises(ValueError, match="phases_per_launch"):
+            pick_block(64, 300)  # halo larger than every candidate
