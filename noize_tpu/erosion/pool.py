@@ -259,17 +259,20 @@ def _phase_core(n_height, n_water, h_land, pool_snapshot, geo_mask,
         elig_e = pick_bool(e, elig)
         diff_v = t_height - key_e
         can = geo_mask & (h_water >= 1e-3)
-        is_drain = can & elig_e
         # non-drain transfer: clip(0.25·diff, -0.25·bw, 0.25·h_water)
-        # (positive = give to the neighbor, negative = take from it)
+        # (positive = give to the neighbor, negative = take from it).
+        # ``elig_e`` needs no can-gate: moved is can-gated below, so
+        # ineligible-masked cells contribute exactly 0 to every output
+        # either way (the drain demux is a per-direction select of
+        # can-gated volumes, not a sum).
         clipv = jnp.minimum(
             jnp.maximum(0.25 * diff_v, -0.25 * bw_e), 0.25 * h_water
         )
-        moved = jnp.where(can, jnp.where(is_drain, h_water, clipv), 0.0)
+        moved = jnp.where(can, jnp.where(elig_e, h_water, clipv), 0.0)
         h_water = h_water - moved
         t_height = h_land + h_water
         moved_s.append(moved)
-        drain_s.append(is_drain)
+        drain_s.append(elig_e)
 
     def demux(vals):
         """Route the per-sub-step volumes back to per-direction outputs."""

@@ -281,3 +281,21 @@ class TestBlockPicker:
             pick_block(100, 8)  # 100 not a multiple of any candidate
         with pytest.raises(ValueError, match="phases_per_launch"):
             pick_block(64, 300)  # halo larger than every candidate
+
+
+@pytest.mark.parametrize("iterations", [1, 3])
+def test_rows_chain_matches_xla(iterations):
+    """The full-width row-block fused blur equals the iterated XLA
+    separable series, including border re-clamp per iteration."""
+    res = 128
+    a = np.zeros((res, res), np.float32)
+    a[:] = RNG.uniform(0, 1, (res, res))
+    a[0, :] += 3.0
+    a[:, -1] -= 2.0
+    taps = K.gaussian_taps(1.0, 5)
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(PS.fused_separable_chain_rows(
+            jnp.asarray(a), taps, iterations, block=64))
+    want = np.asarray(reference_chain(jnp.asarray(a), taps, iterations))
+    np.testing.assert_allclose(got, want, atol=1e-5)
