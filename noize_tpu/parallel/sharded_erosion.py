@@ -540,6 +540,17 @@ class ShardedErosionSim:
     def stream_map(self):
         return self.state.world.flow
 
+    @property
+    def plant_map(self):
+        return self.state.world.plants
+
+    def curvature(self):
+        from ..erosion.world import curvature_map
+
+        return curvature_map(
+            self.state.world.height, float(self.meta.height),
+            self.meta.patch_res)
+
     def step(self, cycles: int = None):
         n = self.settings.CYCLES if cycles is None else cycles
         for _ in range(n):
@@ -548,6 +559,38 @@ class ShardedErosionSim:
                 chunk=self.chunk)
             self.cycle_count += 1
         return self.state
+
+    # --- continuous mode (LiveErosion.updateContinuous parity) --------------
+
+    def trigger(self):
+        """Dispatch one CYCLES batch asynchronously; returns immediately
+        (the dispatch is async on device, the tracker polls readiness)."""
+        from ..utils.tracking import StandAloneJobHandler
+
+        if getattr(self, "_job", None) is None:
+            self._job = StandAloneJobHandler()
+        if self._job.is_running:
+            return False
+        for _ in range(self.settings.CYCLES):
+            self.state = sharded_erosion_cycle(
+                self.mesh, self.state, self.settings, self.meta,
+                chunk=self.chunk)
+            self.cycle_count += 1
+        self._job.track_job(self.state)
+        return True
+
+    def update(self, continuous: bool = True):
+        """One frame tick — the LiveErosion.Update state machine."""
+        job = getattr(self, "_job", None)
+        if job is not None and job.is_running:
+            if not job.job_complete():
+                return "running"
+            job.close_job()
+            return "completed"
+        if continuous:
+            self.trigger()
+            return "triggered"
+        return "idle"
 
     def mesh_fields(self, variant: str = "overshoot"):
         """Per-vertex mesh channels for the current height map, sharded

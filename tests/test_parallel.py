@@ -526,3 +526,25 @@ class TestShardedCheckpoint:
         sim = ShardedErosionSim(mesh, np.zeros((16, 16), np.float32))
         with pytest.raises(RuntimeError):
             sim.save_erosion_state()
+
+
+def test_sharded_sim_async_surface(mesh):
+    """trigger/update/curvature/plant_map parity with ErosionSim."""
+    from noize_tpu.erosion.params import ErosionSettings
+    from noize_tpu.parallel.sharded_erosion import ShardedErosionSim
+
+    rng = np.random.default_rng(37)
+    h = rng.uniform(0.2, 0.8, (32, 32)).astype(np.float32)
+    sim = ShardedErosionSim(
+        mesh, h,
+        settings=ErosionSettings(PARTICLES_PER_CYCLE=8, MAXAGE=4,
+                                 WATER_STEPS=1, CYCLES=1, PILING_RADIUS=4),
+        chunk=4)
+    assert sim.update() == "triggered"
+    status = sim.update(continuous=False)
+    assert status in ("running", "completed")
+    while sim.update(continuous=False) == "running":
+        pass
+    assert sim.cycle_count == 1
+    assert np.isfinite(np.asarray(sim.curvature())).all()
+    assert sim.plant_map.shape == (32, 32)
