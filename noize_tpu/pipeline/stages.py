@@ -117,7 +117,7 @@ class StageGaussianBlurFused(Stage):
     sigma: str = "s1d00"
     width: int = 3
     iterations: int = 1
-    block: int = 256
+    block: int = None  # None → ops.pallas.blocks.pick_block (VMEM-aware)
 
     def array_fn(self, data, io=None):
         import jax
@@ -125,7 +125,7 @@ class StageGaussianBlurFused(Stage):
         from ..ops.pallas import stencil as _ps
 
         if (jax.default_backend() == "tpu"
-                and data.shape[0] % self.block == 0
+                and data.shape[0] % 256 == 0
                 and data.shape[0] == data.shape[1]):
             return _ps.gauss_chain(
                 data, self.width, self.sigma, self.iterations, self.block

@@ -56,11 +56,17 @@ def xla_chain(h):
         return K.separable_series(a, taps, taps, 1.0)
     return jax.lax.fori_loop(0, 17, it, h)
 
-rng = np.random.default_rng(9)
-h4 = jnp.asarray(rng.uniform(0, 1, (4096, 4096)).astype(np.float32))
+def dev_field(res, seed):
+    # generate ON DEVICE: uploading a 268 MB host array through the
+    # ~8 MB/s tunnel takes half an hour
+    return jax.block_until_ready(jax.jit(
+        lambda k: jax.random.uniform(k, (res, res), jnp.float32))(
+            jax.random.PRNGKey(seed)))
+
+h4 = dev_field(4096, 9)
 bench("rows_gauss17_ipl6_4096", lambda a: PS.gauss_chain(a, 5, 1.0, 17), h4)
 
-h8 = jnp.asarray(rng.uniform(0, 1, (8192, 8192)).astype(np.float32))
+h8 = dev_field(8192, 10)
 bench("xla_gauss17_8192", xla_chain, h8)
 bench("rows_gauss17_ipl6_8192", lambda a: PS.gauss_chain(a, 5, 1.0, 17), h8)
 bench("thermal_fused_8192", lambda a: thermal_erosion_fused(
