@@ -112,29 +112,36 @@ def thermal_phase_masked(d, x0: int, z0: int, origin_row, origin_col,
         for dz in (-1, 0, 1) for dx in (-1, 0, 1)
     }
 
-    def pick(dz_arr, dx_arr):
-        """select shifted[(dz, dx)] per cell for dz/dx in {-1, 0, 1}."""
-        out = jnp.zeros_like(d)
-        for (dz, dx), arr in shifted.items():
-            out = jnp.where((dz_arr == dz) & (dx_arr == dx), arr, out)
-        return out
-
     # corner (cx, cz) value seen from a cell with role (rx, rz):
-    #   d[z + cz - rz, x + cx - rx]
-    v = {}
-    for cx in (0, 1):
-        for cz in (0, 1):
-            v[(cx, cz)] = pick(cz - rz, cx - rx)
+    #   d[z + cz - rz, x + cx - rx].  The role is a pure parity, so the
+    #   9-way per-combination select collapses to ONE nested 4-way select
+    #   per corner over the two parity masks (the old formulation paid
+    #   9 × (2 compares + and + where) per corner — ~12× the ops of this
+    #   form for bitwise-identical results; it dominated the fused
+    #   kernel's time at 8192²).
+    rx0 = rx == 0
+    rz0 = rz == 0
+
+    def corner(cx, cz):
+        return jnp.where(
+            rz0,
+            jnp.where(rx0, shifted[(cz, cx)], shifted[(cz, cx - 1)]),
+            jnp.where(rx0, shifted[(cz - 1, cx)],
+                      shifted[(cz - 1, cx - 1)]),
+        )
 
     # float4 order: x=(0,0), y=(1,0), z=(0,1), w=(1,1); pairs as in _PAIRS
     order = [(0, 0), (1, 0), (0, 1), (1, 1)]
-    vals = [v[c] for c in order]
+    vals = [corner(cx, cz) for cx, cz in order]
     for i, j in _PAIRS:
         vals[i], vals[j] = _rectify_pair(vals[i], vals[j], max_diff, increment)
 
-    own = jnp.zeros_like(d)
-    for idx, (cx, cz) in enumerate(order):
-        own = jnp.where((rx == cx) & (rz == cz), vals[idx], own)
+    # own corner result by role: same nested parity select
+    own = jnp.where(
+        rz0,
+        jnp.where(rx0, vals[0], vals[1]),
+        jnp.where(rx0, vals[2], vals[3]),
+    )
     return jnp.where(valid, own, d)
 
 
