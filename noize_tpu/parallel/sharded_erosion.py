@@ -45,7 +45,10 @@ so multi-particle collisions on one cell can differ from the single-device
 scatter order by float reassociation (~1 ulp).  Everything else — spawn,
 thermal, pool phases, sediment dispersal — is bit-exact; the single-TPU
 ``approx_max_k`` drain shortcut is replaced by the exact two-stage top-K.
-``EXACT_PILES`` (serial global solver) is not supported sharded.
+``EXACT_PILES`` (serial global solver) runs sharded via a replicated
+global solve — every shard all-gathers the maps, runs the identical
+single-device solver, and keeps its own block (bit-exact; O(res²) memory
+per device — a parity mode, the scalable default is the separable tent).
 """
 
 from __future__ import annotations
@@ -280,14 +283,45 @@ def _disperse_axis_sharded(s, taps, axis_name: str, dim: int):
     return jnp.moveaxis(out, -1, dim)
 
 
+def _sharded_write_sediment_exact(mesh: Mesh, height, sed_acc, params,
+                                  height_scale):
+    """EXACT_PILES on the sharded cycle: the reference PileSolver is an
+    inherently serial GLOBAL solver (each pile's vertex walk depends on
+    all previously committed piles), so every shard all-gathers the full
+    maps, runs the identical single-device ``write_sediment_map``
+    (replicated compute), and keeps its own block — bit-exact with the
+    single-device opt-in (tested).  Memory is O(res²) per device, so this
+    is a parity/correctness mode for moderate worlds; production uses the
+    separable-tent profile (default), which scales."""
+    @partial(shard_map, mesh=mesh, in_specs=(_SPEC, _SPEC), out_specs=_SPEC,
+             check_vma=False)
+    def body(h, sed):
+        lr, lc = h.shape
+        row0, col0 = _origin((lr, lc))
+        h_full = lax.all_gather(
+            lax.all_gather(h, "y", axis=1, tiled=True), "x", axis=0,
+            tiled=True)
+        sed_full = lax.all_gather(
+            lax.all_gather(sed, "y", axis=1, tiled=True), "x", axis=0,
+            tiled=True)
+        from ..erosion.sediment import write_sediment_map
+
+        new_full = write_sediment_map(h_full, sed_full, params,
+                                      height_scale)
+        return lax.dynamic_slice(new_full, (row0, col0), (lr, lc))
+
+    return body(height, sed_acc)
+
+
 def _sharded_write_sediment(mesh: Mesh, height, sed_acc, params,
                             height_scale):
-    """erosion.sediment.write_sediment_map over sharded blocks (tent pile
-    profile only — the serial EXACT_PILES solver is inherently global)."""
+    """erosion.sediment.write_sediment_map over sharded blocks.  The
+    default separable-tent pile profile runs fully sharded; the
+    ``EXACT_PILES`` opt-in routes through the replicated global solve
+    (see _sharded_write_sediment_exact)."""
     if params.EXACT_PILES:
-        raise NotImplementedError(
-            "EXACT_PILES is a serial global solver; use the tent profile "
-            "(default) for the sharded cycle")
+        return _sharded_write_sediment_exact(
+            mesh, height, sed_acc, params, height_scale)
     thresh = params.PILE_THRESHOLD / height_scale
     tent = _triangle_taps(params.PILING_RADIUS)
 

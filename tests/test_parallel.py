@@ -548,3 +548,25 @@ def test_sharded_sim_async_surface(mesh):
     assert sim.cycle_count == 1
     assert np.isfinite(np.asarray(sim.curvature())).all()
     assert sim.plant_map.shape == (32, 32)
+
+
+def test_sharded_exact_piles_bit_exact(mesh):
+    """EXACT_PILES routes through the replicated global solve and equals
+    the single-device opt-in bit-for-bit."""
+    from noize_tpu.erosion.sediment import write_sediment_map
+    from noize_tpu.erosion.params import ErosionSettings
+    from noize_tpu.parallel.sharded_erosion import _sharded_write_sediment
+
+    res = 32
+    rng = np.random.default_rng(43)
+    h = rng.uniform(0.3, 0.7, (res, res)).astype(np.float32)
+    sed = rng.uniform(-0.01, 0.012, (res, res)).astype(np.float32)
+    sed[5, 7] = 0.5   # force piles
+    sed[20, 25] = 0.4
+    params = ErosionSettings(PILING_RADIUS=4, EXACT_PILES=True).as_parameters()
+    want = write_sediment_map(jnp.asarray(h), jnp.asarray(sed), params, 500.0)
+    sh = DM.field_sharding(mesh)
+    got = _sharded_write_sediment(
+        mesh, jax.device_put(jnp.asarray(h), sh),
+        jax.device_put(jnp.asarray(sed), sh), params, 500.0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
