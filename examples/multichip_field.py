@@ -54,6 +54,35 @@ def main():
     print(f"sp erosion: 2 full cycles on the sharded {res}\u00b2 field "
           f"in {(time.perf_counter()-t0)*1e3:.0f}ms")
 
+    # per-shard mesh emission off the eroded sharded world (round 3):
+    # each shard computes its own renderable vertex block; triangles come
+    # in global or block-local uint32 ids
+    from noize_tpu.parallel.sharded_mesh import (mesh_arrays_from_fields,
+                                                 shard_mesh_indices)
+
+    t0 = time.perf_counter()
+    fields = sim.mesh_fields()
+    fields["positions"].block_until_ready()
+    nx, ny = mesh.shape["x"], mesh.shape["y"]
+    marr = mesh_arrays_from_fields(fields, res, res, (nx, ny))
+    tris = shard_mesh_indices(res, res, (nx, ny), local=True)
+    print(f"sp mesh: {marr.vertex_count} verts emitted per-shard in "
+          f"{(time.perf_counter()-t0)*1e3:.0f}ms; "
+          f"shard (0,0) renders {tris[(0, 0)].size // 3} triangles locally")
+
+    # sharded checkpoint/resume (round 3): persists the full sim state
+    from noize_tpu.core.store import PipelineStateManager
+
+    sim.state_manager = PipelineStateManager("out/sharded_ckpt")
+    sim.save_erosion_state()
+    sim2 = ShardedErosionSim(
+        mesh, np.zeros((res, res), np.float32), settings=sim.settings,
+        meta=sim.meta, state_manager=PipelineStateManager("out/sharded_ckpt"))
+    sim2.restore_erosion_state()
+    same = bool(np.array_equal(np.asarray(sim2.height_map),
+                               np.asarray(sim.height_map)))
+    print(f"sp checkpoint: saved + restored bit-equal: {same}")
+
     bmesh = DM.batch_mesh()
     n = len(jax.devices())
     meta = TileSetMeta(tile_res=96, tile_size=96, generator_res=128,
