@@ -627,7 +627,11 @@ def main():
         # scalar output (4-byte readback).  Readiness signals and bulk
         # readback through the device tunnel are unreliable/slow, so this
         # is the number to trust: (wall - one dispatch RTT) / K.
-        K = 4
+        # K=8: wall(K) is linear (29.7 + 57.3·K measured over K ∈ {2,4,8},
+        # scripts/probe_flagship_k.py), and the ±8 ms tunnel-RTT drift
+        # between the ping estimate and the timed run divides by K — K=8
+        # halves the headline's run-to-run wobble vs K=4.
+        K = 8
 
         @jax.jit
         def chained(key):

@@ -283,15 +283,35 @@ def _phase_core(n_height, n_water, h_land, pool_snapshot, geo_mask,
             for d in range(4)
         ]
 
+    all_d = demux(moved_s)
     if drain_particles:
-        moved_nd = [jnp.where(drain_s[e], 0.0, moved_s[e]) for e in range(4)]
-        deltas = demux(moved_nd)
-        # a drain empties the cell (h_water → exactly 0 < the 1e-3 gate),
-        # so at most one sub-step drains: route that one volume
-        moved_dr = [jnp.where(drain_s[e], moved_s[e], 0.0) for e in range(4)]
-        drain_out = demux(moved_dr)
+        # Split the drain volume off AFTER one combined demux (the demux
+        # selects measured ~2× the average op cost in the fused kernel —
+        # see BENCH_HISTORY round 3 ablation).  A drain empties the cell
+        # (h_water − h_water = exactly 0 < the 1e-3 gate) and ``can`` is
+        # monotone non-increasing across sub-steps (gives can only push
+        # h_water below the gate, takes raise it but require can), so a
+        # real drain — when one exists — fires at the FIRST eligible
+        # sub-step and at most once.  Route that single cell-wide volume
+        # by sub-step index and subtract it back out of the non-drain
+        # deltas (x − x = +0 and x − (+0) = x exactly, so this matches
+        # the two-demux form bit-for-bit; eligible-but-gated sub-steps
+        # contribute exactly ±0 either way).
+        drain_amt = jnp.where(drain_s[0], moved_s[0], 0.0)
+        for e in range(1, 4):
+            drain_amt = drain_amt + jnp.where(drain_s[e], moved_s[e], 0.0)
+        i32 = jnp.int32
+        drain_e = jnp.where(
+            drain_s[0], i32(0),
+            jnp.where(drain_s[1], i32(1),
+                      jnp.where(drain_s[2], i32(2),
+                                jnp.where(drain_s[3], i32(3), i32(-1)))))
+        drain_out = [
+            jnp.where(rank[d] == drain_e, drain_amt, 0.0) for d in range(4)
+        ]
+        deltas = [all_d[d] - drain_out[d] for d in range(4)]
     else:
-        deltas = demux(moved_s)
+        deltas = all_d
         drain_out = [jnp.zeros_like(pool_snapshot) for _ in range(4)]
     return h_water, deltas, drain_out
 

@@ -326,14 +326,19 @@ def _fused_pair_call(h_e_pad, h_o_pad, p_e_pad, p_o_pad, d_e_pad, d_o_pad,
                      block: int, halo: int, unroll: bool):
     """One launch: run ``phase_seq`` phases on the half-row pair lattices
     with the whole chain VMEM-resident per row block — the pair kernel's
-    proven compute profile with the per-phase DMA and XLA pad/accumulate
-    glue paid once per launch.
+    proven compute profile with the per-phase DMA paid once per launch.
 
     Inputs are (res/2, res) lattices pre-padded by ``halo`` rows (edge
     mode); validity shrinks 2 lattice rows per phase per side, so ``halo``
     ≥ 2·len(phase_seq).  Drain accumulators ride through the kernel to
     keep the XLA path's exact f32 add order.  All six input DMAs are
-    started before any wait (overlapped transfers)."""
+    started before any wait (overlapped transfers).
+
+    Note (round 3, measured): carrying PADDED buffers through the scan
+    with manual core-row output DMAs removes the per-launch XLA edge-pad
+    copies but LOSES overall (8.0 vs 5.2 ms per ×10 call) — BlockSpec
+    VMEM outputs pipeline the write-back with the next block's compute,
+    and a trailing in-kernel DMA wait serializes it; keep the pads."""
     r2 = res // 2
     nblk = r2 // block
     w = block + 2 * halo
@@ -460,7 +465,7 @@ def pool_automata_pallas_pair_fused(height, pool, iterations: int = 10,
         h_e, h_o = _pool._halfrow_views(height, 0)
         p_e0, p_o0 = _pool._halfrow_views(pool, 0)
         hpe, hpo = _padH(h_e, halo), _padH(h_o, halo)
-        d0 = (jnp.zeros_like(p_e0), jnp.zeros_like(p_o0))
+        z0 = jnp.zeros_like(p_e0)
 
         def make_launch(seq):
             def run(c):
@@ -475,17 +480,22 @@ def pool_automata_pallas_pair_fused(height, pool, iterations: int = 10,
         launches = [make_launch(seq) for seq in seqs]
 
         def step(carry, t):
-            def wet(c):
-                if n_variants == 1:
-                    return launches[0](c)
-                return jax.lax.switch(t % n_variants, launches, c)
+            if n_variants == 1:
+                return launches[0](carry), None
+            return jax.lax.switch(t % n_variants, launches, carry), None
 
-            has_water = jnp.any(carry[0] > 0.0) | jnp.any(carry[1] > 0.0)
-            return jax.lax.cond(has_water, wet, lambda c: c, carry), None
+        def wet_path(init):
+            (p_e, p_o, d_e, d_o), _ = jax.lax.scan(
+                step, init, jnp.arange(n_launches, dtype=jnp.int32))
+            return p_e, p_o, d_e, d_o
 
-        (p_e, p_o, d_e, d_o), _ = jax.lax.scan(
-            step, (p_e0, p_o0, d0[0], d0[1]),
-            jnp.arange(n_launches, dtype=jnp.int32))
+        # ONE upfront wetness gate (the reference's per-cell `pool > 0`
+        # coarsened): a dry grid skips everything; a grid that dries out
+        # MID-call only runs no-op launches, which is numerically
+        # identical — cheaper than a per-launch reduction+cond
+        p_e, p_o, d_e, d_o = jax.lax.cond(
+            jnp.any(pool > 0.0), wet_path, lambda init: init,
+            (p_e0, p_o0, z0, z0))
         return (
             _pool._halfrow_join(p_e, p_o, 0),
             _pool._halfrow_join(d_e, d_o, 0),
