@@ -215,23 +215,28 @@ def _phase_core(n_height, n_water, h_land, pool_snapshot, geo_mask,
 
     # rank_d = sub-step at which direction d is visited (ascending key,
     # ties in direction-enumeration order — matching the reference's
-    # FloodedNeighbor sort with deterministic tie handling)
-    a01 = (keys[0] <= keys[1]).astype(jnp.int32)
-    a02 = (keys[0] <= keys[2]).astype(jnp.int32)
-    a03 = (keys[0] <= keys[3]).astype(jnp.int32)
-    a12 = (keys[1] <= keys[2]).astype(jnp.int32)
-    a13 = (keys[1] <= keys[3]).astype(jnp.int32)
-    a23 = (keys[2] <= keys[3]).astype(jnp.int32)
+    # FloodedNeighbor sort with deterministic tie handling).  Computed in
+    # f32: the values are exact small integers either way, and f32
+    # select/add beats i32 cast/add on the VPU by ~8% of the whole fused
+    # pool call (measured, scripts/probe_pool_ablate2.py).
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    a01 = jnp.where(keys[0] <= keys[1], one, zero)
+    a02 = jnp.where(keys[0] <= keys[2], one, zero)
+    a03 = jnp.where(keys[0] <= keys[3], one, zero)
+    a12 = jnp.where(keys[1] <= keys[2], one, zero)
+    a13 = jnp.where(keys[1] <= keys[3], one, zero)
+    a23 = jnp.where(keys[2] <= keys[3], one, zero)
     rank = [
-        3 - a01 - a02 - a03,
-        2 + a01 - a12 - a13,
-        1 + a02 + a12 - a23,
+        3.0 - a01 - a02 - a03,
+        2.0 + a01 - a12 - a13,
+        1.0 + a02 + a12 - a23,
         a03 + a13 + a23,
     ]
     # hits[d][e]: direction d is visited at sub-step e (a permutation —
     # exactly one d per e and one e per d); shared by the sub-step field
     # selection and the output demux
-    hits = [[rank[d] == e for e in range(4)] for d in range(4)]
+    hits = [[rank[d] == float(e) for e in range(4)] for d in range(4)]
 
     def pick(e, fields):
         """Select fields of the direction ranked ``e`` (nested where; the
@@ -300,12 +305,13 @@ def _phase_core(n_height, n_water, h_land, pool_snapshot, geo_mask,
         drain_amt = jnp.where(drain_s[0], moved_s[0], 0.0)
         for e in range(1, 4):
             drain_amt = drain_amt + jnp.where(drain_s[e], moved_s[e], 0.0)
-        i32 = jnp.int32
+        f32c = jnp.float32
         drain_e = jnp.where(
-            drain_s[0], i32(0),
-            jnp.where(drain_s[1], i32(1),
-                      jnp.where(drain_s[2], i32(2),
-                                jnp.where(drain_s[3], i32(3), i32(-1)))))
+            drain_s[0], f32c(0.0),
+            jnp.where(drain_s[1], f32c(1.0),
+                      jnp.where(drain_s[2], f32c(2.0),
+                                jnp.where(drain_s[3], f32c(3.0),
+                                          f32c(-1.0)))))
         drain_out = [
             jnp.where(rank[d] == drain_e, drain_amt, 0.0) for d in range(4)
         ]
