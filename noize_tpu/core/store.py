@@ -161,17 +161,24 @@ class PipelineStateManager:
             if value is None or isinstance(value, (dict, set)):
                 continue  # non-array container (dicts/refs) — not saved
             if isinstance(value, (list, tuple)):
-                # numeric sequences ARE checkpointed (they always were);
-                # only ragged/object payloads are skipped — probing a host
-                # container is cheap (the no-probe rule below is about
-                # device arrays, which cost a tunnel readback)
+                # numeric sequences are checkpointed; only ragged/object
+                # payloads are skipped.  Convert ONCE and hand the result
+                # straight to serde — a probe-then-save would materialize
+                # any device arrays in the sequence to host twice (the
+                # no-probe rule below, ~2 s per 16 MB map over the tunnel)
                 try:
-                    if np.asarray(value).dtype == object:
-                        skipped.append(name)
-                        continue
+                    arr = np.asarray(value)
                 except Exception:
                     skipped.append(name)
                     continue
+                if arr.dtype == object:
+                    skipped.append(name)
+                    continue
+                try:
+                    self.serde.save(name, arr, async_=async_)
+                except Exception as e:
+                    failures[name] = e
+                continue
             # no np.asarray probe for array buffers: it would materialize
             # every device array to host a second time (~2 s per 16 MB map
             # over the tunnel) and a probe failure must surface, not skip

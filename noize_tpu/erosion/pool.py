@@ -328,10 +328,11 @@ def _pair_iotas(shape, row0: int):
     return j, col
 
 
-def _pair_geo_mask(shape, xoff: int, zoff: int, res: int, row0: int = 0):
+def _pair_geo_mask(shape, xoff: int, res: int, row0: int = 0):
     """Geometric lattice mask for one phase on the pair layout: column
-    parity per lattice row j (global z = 2j + zoff) ∧ in-bounds rows
-    (window ghost rows are inactive)."""
+    parity per lattice row j ∧ in-bounds rows (window ghost rows are
+    inactive).  Depends on ``xoff`` ONLY — both zoff orientations of a
+    phase share the same mask, so callers hoist one mask per xoff."""
     r2 = res // 2
     j, col = _pair_iotas(shape, row0)
     mask = (col % 2) == ((xoff + j) % 2)
@@ -387,7 +388,7 @@ def _phase_pair(a_h, c_h, a_p, c_p, xoff: int, zoff: int,
     r2 = res // 2
     j, col = _pair_iotas(a_p.shape, row0)
     if geo_mask is None:
-        geo_mask = _pair_geo_mask(a_p.shape, xoff, zoff, res, row0)
+        geo_mask = _pair_geo_mask(a_p.shape, xoff, res, row0)
     if pre is None:
         pre = _pair_pre(a_h, c_h, zoff, res, row0)
 
@@ -705,8 +706,7 @@ def pool_automata(height, pool, iterations: int = 10, drain_particles: bool = Tr
     # computed once here and closed over by the branches
     pre_z = (_pair_pre(h_even, h_odd, 0, res),
              _pair_pre(h_odd, h_even, 1, res))
-    masks = {(xo, zo): _pair_geo_mask(p_even.shape, xo, zo, res)
-             for xo in (0, 1) for zo in (0, 1)}
+    masks = {xo: _pair_geo_mask(p_even.shape, xo, res) for xo in (0, 1)}
 
     # One phase per scan step, selected by lax.switch: XLA's optimizer cost
     # grows super-linearly when several phases are unrolled into one body
@@ -720,7 +720,7 @@ def pool_automata(height, pool, iterations: int = 10, drain_particles: bool = Tr
                 p_even, p_odd, da, dc = _phase_pair(
                     h_even, h_odd, p_even, p_odd, xoff, 0,
                     drain_particles, res,
-                    pre=pre_z[0], geo_mask=masks[(xoff, 0)])
+                    pre=pre_z[0], geo_mask=masks[xoff])
                 return (p_even, p_odd, d_even + da, d_odd + dc)
         else:
             def br(c):
@@ -728,7 +728,7 @@ def pool_automata(height, pool, iterations: int = 10, drain_particles: bool = Tr
                 p_odd, p_even, da, dc = _phase_pair(
                     h_odd, h_even, p_odd, p_even, xoff, 1,
                     drain_particles, res,
-                    pre=pre_z[1], geo_mask=masks[(xoff, 1)])
+                    pre=pre_z[1], geo_mask=masks[xoff])
                 return (p_even, p_odd, d_even + dc, d_odd + da)
         return br
 

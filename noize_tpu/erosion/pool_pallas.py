@@ -370,21 +370,19 @@ def _fused_pair_call(h_e_pad, h_o_pad, p_e_pad, p_o_pad, d_e_pad, d_o_pad,
         # 4·ppl times per launch with no cross-launch CSE possible)
         pre_z = (_pool._pair_pre(h_e, h_o, 0, res, row0=row0),
                  _pool._pair_pre(h_o, h_e, 1, res, row0=row0))
-        masks = {
-            (xo, zo): _pool._pair_geo_mask(h_e.shape, xo, zo, res, row0)
-            for xo in (0, 1) for zo in (0, 1)
-        }
+        masks = {xo: _pool._pair_geo_mask(h_e.shape, xo, res, row0)
+                 for xo in (0, 1)}
 
         def apply_phase(c, xo, zo):
             p_e, p_o, d_e, d_o = c
             if zo == 0:
                 na, nc, da, dc = _pool._phase_pair(
                     h_e, h_o, p_e, p_o, xo, 0, drain_particles, res,
-                    row0=row0, pre=pre_z[0], geo_mask=masks[(xo, 0)])
+                    row0=row0, pre=pre_z[0], geo_mask=masks[xo])
                 return na, nc, d_e + da, d_o + dc
             na, nc, da, dc = _pool._phase_pair(
                 h_o, h_e, p_o, p_e, xo, 1, drain_particles, res, row0=row0,
-                pre=pre_z[1], geo_mask=masks[(xo, 1)])
+                pre=pre_z[1], geo_mask=masks[xo])
             return nc, na, d_e + dc, d_o + da
 
         carry = tuple(scratch[n][:] for n in (2, 3, 4, 5))

@@ -263,13 +263,19 @@ class ErosionSim:
 
     # --- stepping (LiveErosion.Update / TriggerQueuedBeyerMT) ---------------
 
+    def _run_cycle(self):
+        """Advance one erosion cycle — the single point subclasses (the
+        spatially-sharded sim) swap for their cycle kernel; every driver
+        method (step/trigger/update) routes through here."""
+        self.state = erosion_cycle(self.state, self.settings, self.meta)
+        self.cycle_count += 1
+
     def step(self, cycles: Optional[int] = None):
         """Run CYCLES erosion cycles (the reference schedules all CYCLES in
         one DAG per trigger)."""
         n = self.settings.CYCLES if cycles is None else cycles
         for _ in range(n):
-            self.state = erosion_cycle(self.state, self.settings, self.meta)
-            self.cycle_count += 1
+            self._run_cycle()
         return self.state
 
     # --- continuous mode (LiveErosion.updateContinuous, :363-370) -----------
@@ -285,8 +291,7 @@ class ErosionSim:
         if self._job.is_running:
             return False
         for _ in range(self.settings.CYCLES):
-            self.state = erosion_cycle(self.state, self.settings, self.meta)
-            self.cycle_count += 1
+            self._run_cycle()
         self._job.track_job(self.state)
         return True
 

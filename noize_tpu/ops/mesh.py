@@ -88,16 +88,6 @@ def grid_indices(resolution: int, dtype=None) -> np.ndarray:
     return tris.reshape(-1).astype(dtype)
 
 
-def _positions_xz(resolution: int, tile_size):
-    """Vertex x/z coordinates with the reference's x==0 special case."""
-    r = resolution
-    step = tile_size / r
-    xs = jnp.arange(r + 1, dtype=_F32) * step - 0.5
-    xs = xs.at[0].set(-(0.5 * step))
-    zs = jnp.arange(r + 1, dtype=_F32) * step - 0.5
-    return xs, zs
-
-
 def vertex_fields(t, l, rgt, u, d, vx_f, vz_f, step, height, uv_denom):
     """Per-vertex elementwise math — positions/normals/tangents/uvs from
     the five height taps and f32 vertex coordinates.  Shared verbatim by

@@ -24,7 +24,15 @@ def pick_block(n_rows: int, halo: int, cols: int = None,
     """Largest candidate block that divides ``n_rows``, covers ``halo``,
     and (when ``cols`` is given) keeps a (block + 2·halo, cols) f32 window
     under ``cap_bytes``.  Raises a descriptive ValueError when no candidate
-    qualifies (e.g. n_rows not a multiple of 8, or too many fused phases)."""
+    qualifies (e.g. n_rows not a multiple of 8, or too many fused phases).
+
+    block ≥ halo is required for boundary CORRECTNESS, not just validity
+    shrink: a block whose window reaches past the global edge would read
+    statically edge-replicated padding without re-applying the
+    per-iteration clamp fixup (only first/last blocks do that), silently
+    skewing border results — measured as ~0.5% drift in a block<halo
+    probe.  Kernels that hit the cap should shrink their per-launch fused
+    depth instead (see stencil._rows_plan)."""
     for b in candidates:
         if n_rows % b != 0 or b < halo:
             continue

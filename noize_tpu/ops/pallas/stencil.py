@@ -127,6 +127,29 @@ def fused_separable_chain(x, taps, iterations: int, block: int = 256):
     return out
 
 
+def _rows_plan(r: int, cols: int, off: int, ipl: int):
+    """(block, iterations_per_launch) for the row chain: the per-launch
+    halo is off·ipl rows, and block ≥ halo is a boundary-correctness
+    requirement (blocks.pick_block).  When wide taps × a wide field leave
+    no candidate under the VMEM window cap, HALVE the launch depth — the
+    halo shrinks with it — instead of failing; ipl=1 always admits a block
+    for any 8-divisible row count (halo ≤ 16 with the widest blur taps)."""
+    from .blocks import pick_block
+
+    while True:
+        halo = ((off * ipl + 7) // 8) * 8
+        try:
+            # the conv holds only a few live (w, cols) buffers — allow
+            # bigger windows than the default cap so halo overhead stays
+            # small
+            return pick_block(r, halo, cols=cols,
+                              cap_bytes=12 * 1024 * 1024), ipl
+        except ValueError:
+            if ipl == 1:
+                raise
+            ipl = (ipl + 1) // 2
+
+
 def fused_separable_chain_rows(x, taps, iterations: int, block: int = None,
                                iterations_per_launch: int = 6):
     """``iterations`` repeats of (X-pass, flipped Z-pass) over FULL-WIDTH
@@ -146,6 +169,11 @@ def fused_separable_chain_rows(x, taps, iterations: int, block: int = None,
     per-launch halo shrinks to off·chunk.  Chained chunks reproduce the
     per-iteration clamp semantics exactly (each launch re-pads from the
     true border)."""
+    off0 = (len(np.asarray(taps)) - 1) // 2
+    if block is None:
+        block, iterations_per_launch = _rows_plan(
+            x.shape[0], x.shape[1], off0,
+            min(iterations, iterations_per_launch))
     if iterations > iterations_per_launch:
         done = 0
         while done < iterations:
@@ -160,15 +188,14 @@ def fused_separable_chain_rows(x, taps, iterations: int, block: int = None,
     off = (k - 1) // 2
     halo = ((off * iterations + 7) // 8) * 8
     r, cols = x.shape
-    if block is None:
-        from .blocks import pick_block
-
-        # the conv holds only a few live (w, cols) buffers — allow bigger
-        # windows than the default cap so the halo overhead stays small
-        block = pick_block(r, halo, cols=cols,
-                           cap_bytes=12 * 1024 * 1024)
     if r % block:
         raise ValueError(f"resolution {r} not divisible by block {block}")
+    if block < halo:
+        raise ValueError(
+            f"row block {block} < halo {halo}: interior blocks would read "
+            "statically edge-replicated padding without the per-iteration "
+            "clamp fixup (wrong borders); raise block or lower "
+            "iterations_per_launch")
     nblk = r // block
     w = block + 2 * halo
 

@@ -68,7 +68,7 @@ from ..erosion.particles import Particles, descend_step, spawn
 from ..erosion.pool import (_border_maps, _phase_mask_from_coords,
                             _spread_phase, _PHASE_ORDER)
 from ..erosion.sediment import KERNEL5, _triangle_taps
-from ..erosion.sim import SimState
+from ..erosion.sim import ErosionSim as _ErosionSimBase, SimState
 from ..erosion.world import WorldState, update_flow_from_track
 from ..core.tiles import TileSetMeta
 from .halo import (exchange_2d, exchange_axis, fold_2d, reclamp_ghosts,
@@ -536,10 +536,13 @@ def sharded_tile_step(mesh: Mesh, meta: TileSetMeta,
     return state, flow_v
 
 
-class ShardedErosionSim:
+class ShardedErosionSim(_ErosionSimBase):
     """ErosionSim's host-driver surface (erosion.sim.ErosionSim) for a
-    spatially-sharded world: step/reset/map views, with all maps living
-    sharded P('x','y') on the mesh."""
+    spatially-sharded world, with all maps living sharded P('x','y') on
+    the mesh.  The LiveErosion state machine (step/trigger/update), map
+    views, curvature, and resets are INHERITED — only the cycle kernel
+    (``_run_cycle``) and the persistence surface (extended save-alias set,
+    re-sharding restore) differ."""
 
     def __init__(self, mesh: Mesh, height, settings: ErosionSettings = None,
                  meta: TileSetMeta = None, seed: int = 0, chunk: int = 8,
@@ -556,75 +559,19 @@ class ShardedErosionSim:
         self.meta = meta or TileSetMeta(
             tile_res=res, tile_size=res, generator_res=res, height=1000,
             margin=0)
+        # no super().__init__: it would run init_state on the unsharded
+        # host array; shard FIRST so world-state creation lands P('x','y')
         sharded = jax.device_put(jnp.asarray(height, _F32),
                                  field_sharding(mesh))
         self.original_height = sharded
         self.state = init_state(sharded, jax.random.PRNGKey(seed))
         self.cycle_count = 0
 
-    @property
-    def height_map(self):
-        return self.state.world.height
-
-    @property
-    def pool_map(self):
-        return self.state.world.pool
-
-    @property
-    def stream_map(self):
-        return self.state.world.flow
-
-    @property
-    def plant_map(self):
-        return self.state.world.plants
-
-    def curvature(self):
-        from ..erosion.world import curvature_map
-
-        return curvature_map(
-            self.state.world.height, float(self.meta.height),
-            self.meta.patch_res)
-
-    def step(self, cycles: int = None):
-        n = self.settings.CYCLES if cycles is None else cycles
-        for _ in range(n):
-            self.state = sharded_erosion_cycle(
-                self.mesh, self.state, self.settings, self.meta,
-                chunk=self.chunk)
-            self.cycle_count += 1
-        return self.state
-
-    # --- continuous mode (LiveErosion.updateContinuous parity) --------------
-
-    def trigger(self):
-        """Dispatch one CYCLES batch asynchronously; returns immediately
-        (the dispatch is async on device, the tracker polls readiness)."""
-        from ..utils.tracking import StandAloneJobHandler
-
-        if getattr(self, "_job", None) is None:
-            self._job = StandAloneJobHandler()
-        if self._job.is_running:
-            return False
-        for _ in range(self.settings.CYCLES):
-            self.state = sharded_erosion_cycle(
-                self.mesh, self.state, self.settings, self.meta,
-                chunk=self.chunk)
-            self.cycle_count += 1
-        self._job.track_job(self.state)
-        return True
-
-    def update(self, continuous: bool = True):
-        """One frame tick — the LiveErosion.Update state machine."""
-        job = getattr(self, "_job", None)
-        if job is not None and job.is_running:
-            if not job.job_complete():
-                return "running"
-            job.close_job()
-            return "completed"
-        if continuous:
-            self.trigger()
-            return "triggered"
-        return "idle"
+    def _run_cycle(self):
+        self.state = sharded_erosion_cycle(
+            self.mesh, self.state, self.settings, self.meta,
+            chunk=self.chunk)
+        self.cycle_count += 1
 
     def mesh_fields(self, variant: str = "overshoot"):
         """Per-vertex mesh channels for the current height map, sharded
@@ -635,20 +582,6 @@ class ShardedErosionSim:
             self.mesh, self.state.world.height, self.meta.tile_res,
             self.meta.generator_res, float(self.meta.height),
             float(self.meta.tile_size), variant=variant)
-
-    def reset_land(self):
-        from ..erosion.sim import init_state
-
-        self.state = init_state(self.original_height, self.state.key)
-
-    def reset_water(self):
-        w = self.state.world
-        z = jnp.zeros_like(w.pool)
-        self.state = replace(
-            self.state,
-            world=replace(w, pool=z, flow=z, track=z),
-            drain_water=jnp.zeros_like(self.state.drain_water),
-        )
 
     # --- persistence (SaveErosionState parity, LiveErosion.cs:111-116) ------
 

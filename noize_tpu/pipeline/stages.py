@@ -124,12 +124,23 @@ class StageGaussianBlurFused(Stage):
 
         from ..ops.pallas import stencil as _ps
 
+        # gate on the block that will actually run: an explicit block must
+        # divide the row count; block=None defers to pick_block (candidates
+        # are multiples of 8).  Either can still fail for exotic shapes
+        # (VMEM window cap at extreme widths) — that surfaces as a
+        # trace-time ValueError, which falls back to the XLA chain.
+        divisible = (data.shape[0] % self.block == 0 if self.block
+                     else data.shape[0] % 8 == 0)
         if (jax.default_backend() == "tpu"
-                and data.shape[0] % 256 == 0
+                and divisible
+                and data.shape[1] % 128 == 0  # lane-aligned full-width rows
                 and data.shape[0] == data.shape[1]):
-            return _ps.gauss_chain(
-                data, self.width, self.sigma, self.iterations, self.block
-            )
+            try:
+                return _ps.gauss_chain(
+                    data, self.width, self.sigma, self.iterations, self.block
+                )
+            except ValueError:  # no viable row block — XLA path below
+                pass
         for _ in range(self.iterations):
             data = _blur.gauss_blur(data, self.width, self.sigma)
         return data

@@ -137,3 +137,21 @@ class TestAsyncCheckpoint:
         sm2 = PipelineStateManager(str(tmp_path), "a", "1")
         for n, a in arrays.items():
             np.testing.assert_array_equal(np.asarray(sm2.get_buffer(n)), a)
+
+    def test_save_all_numeric_sequences(self, tmp_path):
+        """Numeric list/tuple buffers checkpoint (converted ONCE — no
+        probe-then-save double materialization); ragged/object payloads
+        are skipped, not failed."""
+        sm = PipelineStateManager(str(tmp_path), "s", "1")
+        sm.set_buffer("lst", [1.0, 2.0, 3.0])
+        sm.set_buffer("tup", (np.ones((4, 4), np.float32),
+                              np.zeros((4, 4), np.float32)))
+        sm.set_buffer("ragged", [np.ones(3), np.ones(5)])  # object dtype
+        failures = sm.save_all(async_=False)
+        assert failures == {}
+        sm2 = PipelineStateManager(str(tmp_path), "s", "1")
+        np.testing.assert_array_equal(
+            np.asarray(sm2.get_buffer("lst")), [1.0, 2.0, 3.0])
+        got = np.asarray(sm2.get_buffer("tup"))
+        assert got.shape == (2, 4, 4) and got[0].sum() == 16.0
+        assert sm2.get_buffer("ragged") is None  # skipped — nothing on disk

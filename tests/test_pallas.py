@@ -282,6 +282,41 @@ class TestBlockPicker:
         with pytest.raises(ValueError, match="phases_per_launch"):
             pick_block(64, 300)  # halo larger than every candidate
 
+    def test_rows_plan_shrinks_launch_depth(self):
+        """Wide taps × a wide field: no candidate both covers the halo and
+        fits the VMEM cap at the default launch depth — the rows planner
+        halves iterations_per_launch (shrinking the halo) instead of
+        raising.  width 25 (off 12) at 16384²: ipl 6 → halo 72 infeasible;
+        ipl 3 → halo 40 → block 64 fits."""
+        from noize_tpu.ops.pallas.stencil import _rows_plan
+
+        assert _rows_plan(16384, 16384, 12, 6) == (64, 3)
+        # comfortable regime: depth untouched
+        assert _rows_plan(2048, 2048, 2, 6) == (256, 6)
+
+
+def test_rows_chain_chunked_launch_depth():
+    """Chunked launches (iterations > iterations_per_launch) chain
+    bit-compatibly with the single-launch semantics — each launch re-pads
+    from the true border, reproducing the per-iteration clamp.  Also: a
+    block below the halo is REJECTED (interior blocks would read stale
+    edge padding — measured ~0.5% border drift in that regime)."""
+    res = 64
+    a = RNG.uniform(0, 1, (res, 128)).astype(np.float32)
+    taps = K.gaussian_taps(1.0, 5)
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(PS.fused_separable_chain_rows(
+            jnp.asarray(a), taps, 5, block=16, iterations_per_launch=2))
+    want = np.asarray(reference_chain(jnp.asarray(a), taps, 5))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    with pytest.raises(ValueError, match="halo"):
+        with pltpu.force_tpu_interpret_mode():
+            PS.fused_separable_chain_rows(
+                jnp.asarray(a), K.gaussian_taps(1.3, 9), 16, block=8,
+                iterations_per_launch=16)
+
 
 @pytest.mark.parametrize("iterations", [1, 3])
 def test_rows_chain_matches_xla(iterations):
