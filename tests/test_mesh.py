@@ -93,6 +93,33 @@ class TestHeightmapMesh:
         assert mesh.vertex_count == (r + 1) ** 2
         assert mesh.index_count == 6 * r * r
 
+    @pytest.mark.parametrize("overshoot", [False, True])
+    def test_planes_layout_bit_equal(self, overshoot):
+        """MeshPlanes (component-major, the TPU emission layout) must be
+        bit-identical to the MeshArrays trailing-dim layout — both stack
+        vertex_plane_list."""
+        r, input_r = 8, 12
+        h = jnp.asarray(RNG.uniform(0, 1, (input_r, input_r)).astype(np.float32))
+        if overshoot:
+            a = M.heightmap_mesh_overshoot(h, r, input_r, 100.0, 50.0)
+            p = M.heightmap_mesh_overshoot_planes(h, r, input_r, 100.0, 50.0)
+        else:
+            a = M.heightmap_mesh(h, r, input_r, 100.0, 50.0)
+            p = M.heightmap_mesh_planes(h, r, input_r, 100.0, 50.0)
+        assert p.planes.shape == (12, r + 1, r + 1)
+        assert p.vertex_count == a.vertex_count
+        for f in ("positions", "tangents", "uvs", "indices"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(p, f)), np.asarray(getattr(a, f)), err_msg=f
+            )
+        # normals carry a sqrt+reciprocal chain XLA fuses differently per
+        # program — identical source math, ≤1 ulp divergence
+        np.testing.assert_allclose(np.asarray(p.normals),
+                                   np.asarray(a.normals), rtol=2e-7)
+        b = p.to_arrays()
+        np.testing.assert_array_equal(np.asarray(b.positions),
+                                      np.asarray(a.positions))
+
     def test_flat_input_flat_mesh(self):
         mesh = M.heightmap_mesh(jnp.full((12, 12), 0.5), 8, 12, 100.0, 10.0)
         np.testing.assert_allclose(np.asarray(mesh.positions)[:, 1], 50.0, atol=1e-5)
