@@ -440,6 +440,14 @@ def main():
         return m.positions.sum()
 
     _phase("mesh", mesh_body)
+
+    def mesh_planes_body(k):
+        m = MH.heightmap_mesh_overshoot_planes(
+            hb + _eps(k), meta_b.tile_res, rb, 1000.0,
+            float(meta_b.tile_size))
+        return m.planes.sum()
+
+    _phase("mesh_planes", mesh_planes_body)
     if jax.default_backend() == "tpu":
         from noize_tpu.ops.pallas import stencil as PSM
         from noize_tpu.ops.pallas import flow_pl as PFL

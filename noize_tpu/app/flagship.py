@@ -62,6 +62,7 @@ def make_tile_step(
     flow_iterations: int = 8,
     erosion_cycles: int = 1,
     emit_mesh: bool = True,
+    mesh_layout: str = "arrays",
 ):
     """Build the jittable flagship step: (xpos, zpos, key) → outputs dict."""
     meta = meta or default_meta()
@@ -95,8 +96,14 @@ def make_tile_step(
         }
         if emit_mesh:
             # LiveErosion.ScheduleMeshUpdate parity: Resolution = TILE_RES,
-            # margin samples read from the generator grid (LiveErosion.cs:302-315)
-            out["mesh"] = _mesh.heightmap_mesh_overshoot(
+            # margin samples read from the generator grid (LiveErosion.cs:302-315).
+            # "planes" emits the component-major MeshPlanes layout — the
+            # TPU-native choice (see ops.mesh.MeshPlanes); "arrays" the
+            # (N, 3/4/2) MeshArrays SoA.
+            mesher = (_mesh.heightmap_mesh_overshoot_planes
+                      if mesh_layout == "planes"
+                      else _mesh.heightmap_mesh_overshoot)
+            out["mesh"] = mesher(
                 state.world.height, meta.tile_res, res,
                 float(meta.height), float(meta.tile_size),
             )

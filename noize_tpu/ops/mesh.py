@@ -81,7 +81,7 @@ class MeshPlanes:
     ~42× lane/HBM waste of 3-wide minor axes.  ``to_arrays()`` (or the
     field properties) materialize the interleavable ``MeshArrays`` SoA view
     for host consumers (bakery, export) — same math as the MeshArrays
-    builders, agreeing to ≤1 ulp (see ``vertex_plane_list``)."""
+    builders, agreeing to a few ulp (see ``vertex_plane_list``)."""
 
     planes: Any    # f32[12, H, W]
     indices: Any   # ui16/ui32[6·R²]
@@ -157,7 +157,7 @@ def vertex_plane_list(t, l, rgt, u, d, vx_f, vz_f, step, height, uv_denom):
     byte while the [12, H, W] form pads ~3% (see BENCH_HISTORY round 3).
     Same math as ``vertex_fields`` (which keeps its stacked form for the
     shard_map bit-exactness guarantee — see its docstring); values agree
-    to ≤1 ulp (normals carry the sqrt/divide chain XLA fuses per-program).
+    to a few ulp (normals carry the sqrt/divide chain XLA fuses per-program).
 
     Quirks preserved: vertex x == 0 gets position −(0.5·step) while x ≥ 1
     gets x·step − 0.5 (SquareGridHeightMap.cs:85,92 — z has NO such
@@ -176,7 +176,7 @@ def vertex_plane_list(t, l, rgt, u, d, vx_f, vz_f, step, height, uv_denom):
     # rsqrt): XLA strength-reduces 1/sqrt to rsqrt in some programs but
     # not others, and the shard_map path must stay bit-identical to the
     # single-device path (tests/test_parallel.py::TestShardedMesh).  The
-    # planes-vs-arrays layouts may still diverge by ≤1 ulp here — separate
+    # planes-vs-arrays layouts may still diverge by a few ulp here — separate
     # programs fuse the chain differently.
     norm = jnp.sqrt((nx * nx + ny * ny) + nz * nz)
     # explicit f32 reciprocal multiply: XLA strength-reduces division by a

@@ -52,7 +52,8 @@ _SPEC = P("x", "y")
 
 def sharded_heightmap_mesh(mesh: Mesh, heights, resolution: int,
                            input_resolution: int, height, tile_size,
-                           variant: str = "overshoot"):
+                           variant: str = "overshoot",
+                           layout: str = "arrays"):
     """Emit per-shard (lr+1, lc+1) vertex blocks for the whole mesh (see
     module layout note).
 
@@ -61,18 +62,28 @@ def sharded_heightmap_mesh(mesh: Mesh, heights, resolution: int,
     "square" uses SquareGridHeightMap's InterpolateEdge extrapolation at
     the vertex-grid border.
 
-    Returns {"positions", "normals", "tangents", "uvs"} global arrays of
-    shape (R + nx, R + ny, C) sharded P('x','y', None)."""
+    ``layout``: "arrays" returns {"positions", "normals", "tangents",
+    "uvs"} global arrays of shape (R + nx, R + ny, C) sharded
+    P('x','y', None) — bit-exact with the single-device MeshArrays path;
+    "planes" returns {"planes": f32[12, R + nx, R + ny]} sharded
+    P(None, 'x', 'y') — the component-major TPU emission layout (the
+    vertex grid stays on the tiled minor dims; see ops.mesh.MeshPlanes),
+    values within a few ulp of "arrays" (ops.mesh.vertex_plane_list)."""
     r = resolution
     off = (input_resolution - r) // 2
     if variant not in ("overshoot", "square"):
         raise ValueError(f"unknown mesh variant {variant!r}")
+    if layout not in ("arrays", "planes"):
+        raise ValueError(f"unknown mesh layout {layout!r}")
     halo = off + 2
     step = tile_size / r
     uv_denom = float(r) - 0.5 if variant == "overshoot" else float(r + 1)
 
-    out_specs = {k: P("x", "y", None)
-                 for k in ("positions", "normals", "tangents", "uvs")}
+    if layout == "planes":
+        out_specs = {"planes": P(None, "x", "y")}
+    else:
+        out_specs = {k: P("x", "y", None)
+                     for k in ("positions", "normals", "tangents", "uvs")}
 
     @partial(shard_map, mesh=mesh, in_specs=(_SPEC,), out_specs=out_specs,
              check_vma=False)
@@ -110,6 +121,13 @@ def sharded_heightmap_mesh(mesh: Mesh, heights, resolution: int,
         else:
             l, rgt, u, d = l_in, r_in, u_in, d_in
 
+        if layout == "planes":
+            planes = jnp.stack(_mesh.vertex_plane_list(
+                t, l, rgt, u, d, vx.astype(_F32), vz.astype(_F32),
+                step, height, uv_denom,
+            ), 0)
+            valid = ((vz <= r) & (vx <= r))[None]
+            return {"planes": jnp.where(valid, planes, 0.0)}
         pos, n, tan, uv = _mesh.vertex_fields(
             t, l, rgt, u, d, vx.astype(_F32), vz.astype(_F32),
             step, height, uv_denom,
@@ -212,3 +230,25 @@ def mesh_arrays_from_fields(fields, resolution: int, input_resolution: int,
         uvs=assemble(fields["uvs"], 2),
         indices=jnp.asarray(_mesh.grid_indices(r)),
     )
+
+
+def mesh_planes_from_fields(fields, resolution: int, input_resolution: int,
+                            mesh_shape):
+    """``mesh_arrays_from_fields`` for the ``layout="planes"`` output:
+    reassemble the per-shard (12, lr+1, lc+1) blocks into a single-device
+    ``MeshPlanes``."""
+    r = resolution
+    nx, ny = mesh_shape
+    lr = input_resolution // nx
+    lc = input_resolution // ny
+    arr = np.asarray(fields["planes"])
+    full = np.zeros((arr.shape[0], r + 1, r + 1), np.float32)
+    for i in range(nx):
+        for j in range(ny):
+            blk = arr[:, i * (lr + 1):(i + 1) * (lr + 1),
+                      j * (lc + 1):(j + 1) * (lc + 1)]
+            (rs, cs), (vz0, vx0) = shard_vertex_window(
+                r, input_resolution, mesh_shape, (i, j))
+            full[:, vz0:vz0 + rs.stop, vx0:vx0 + cs.stop] = blk[:, rs, cs]
+    return _mesh.MeshPlanes(jnp.asarray(full),
+                            jnp.asarray(_mesh.grid_indices(r)))

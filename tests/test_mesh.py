@@ -113,9 +113,9 @@ class TestHeightmapMesh:
                 np.asarray(getattr(p, f)), np.asarray(getattr(a, f)), err_msg=f
             )
         # normals carry a sqrt+reciprocal chain XLA fuses differently per
-        # program — identical source math, ≤1 ulp divergence
+        # program — identical source math, a-few-ulp divergence
         np.testing.assert_allclose(np.asarray(p.normals),
-                                   np.asarray(a.normals), rtol=2e-7)
+                                   np.asarray(a.normals), rtol=5e-7)
         b = p.to_arrays()
         np.testing.assert_array_equal(np.asarray(b.positions),
                                       np.asarray(a.positions))

@@ -406,6 +406,32 @@ class TestShardedMesh:
             np.asarray(got.indices), np.asarray(want.indices))
 
     @pytest.mark.parametrize("margin", [0, 8])
+    def test_planes_layout_matches_single_device(self, mesh, margin):
+        """layout='planes' sharded emission matches the single-device
+        MeshPlanes path (exact except the normals' sqrt/divide chain —
+        a few ulp per-program fusion, same caveat as the single-device
+        layouts)."""
+        from noize_tpu.ops import mesh as MH
+        from noize_tpu.parallel import sharded_mesh as SM
+
+        inp = 64
+        r = inp - 2 * margin
+        a, ash = sharded_field(mesh, inp)
+        fields = SM.sharded_heightmap_mesh(
+            mesh, ash, r, inp, 500.0, float(r), layout="planes")
+        got = SM.mesh_planes_from_fields(
+            fields, r, inp, (mesh.shape["x"], mesh.shape["y"]))
+        want = MH.heightmap_mesh_overshoot_planes(
+            jnp.asarray(a), r, inp, 500.0, float(r))
+        gp, wp = np.asarray(got.planes), np.asarray(want.planes)
+        np.testing.assert_array_equal(gp[:3], wp[:3], err_msg="positions")
+        np.testing.assert_allclose(gp[3:6], wp[3:6], rtol=5e-7,
+                                   err_msg="normals")
+        np.testing.assert_array_equal(gp[6:], wp[6:], err_msg="tan/uv")
+        np.testing.assert_array_equal(np.asarray(got.indices),
+                                      np.asarray(want.indices))
+
+    @pytest.mark.parametrize("margin", [0, 8])
     def test_shard_indices_partition_global_triangles(self, margin):
         """Per-shard uint32 triangle lists (global vertex ids) are a
         partition of grid_indices' triangles."""
