@@ -113,6 +113,8 @@ def main(argv=None):
     erop.add_argument("-o", "--outdir", default="out")
     erop.add_argument("--cycles", type=int, default=10)
     erop.add_argument("--resolution", type=int, default=256)
+    erop.add_argument("--mesh", action="store_true",
+                      help="also emit the eroded tile mesh as OBJ + NPZ")
 
     args = ap.parse_args(argv)
 
@@ -153,6 +155,17 @@ def main(argv=None):
         ):
             viz.to_png(os.path.join(args.outdir, f"{name}.png"), np.asarray(m))
         print(f"wrote eroded_height/pool/stream PNGs -> {args.outdir}")
+        if args.mesh:
+            from ..ops.mesh import heightmap_mesh_overshoot
+            from . import mesh_export as ME
+
+            res = int(sim.height_map.shape[0])
+            marr = heightmap_mesh_overshoot(
+                sim.height_map, sim.meta.tile_res, res,
+                float(sim.meta.height), float(sim.meta.tile_size))
+            ME.to_obj(os.path.join(args.outdir, "tile.obj"), marr)
+            ME.to_npz(os.path.join(args.outdir, "tile.npz"), marr)
+            print(f"wrote tile.obj / tile.npz -> {args.outdir}")
 
 
 if __name__ == "__main__":

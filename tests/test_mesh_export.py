@@ -1,0 +1,69 @@
+"""Mesh file export tests — OBJ structure and NPZ round-trip."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from noize_tpu.app import mesh_export as ME
+from noize_tpu.ops import mesh as M
+
+RNG = np.random.default_rng(17)
+
+
+_H = RNG.uniform(0, 1, (8, 8)).astype(np.float32)
+
+
+def _mesh(r=4, inp=8, planes=False):
+    fn = (M.heightmap_mesh_overshoot_planes if planes
+          else M.heightmap_mesh_overshoot)
+    return fn(jnp.asarray(_H[:inp, :inp]), r, inp, 100.0, 50.0)
+
+
+class TestObjExport:
+    def test_obj_counts_and_faces(self, tmp_path):
+        mesh = _mesh()
+        p = tmp_path / "tile.obj"
+        ME.to_obj(str(p), mesh)
+        lines = p.read_text().splitlines()
+        v = [l for l in lines if l.startswith("v ")]
+        vt = [l for l in lines if l.startswith("vt ")]
+        vn = [l for l in lines if l.startswith("vn ")]
+        f = [l for l in lines if l.startswith("f ")]
+        assert len(v) == mesh.vertex_count
+        assert len(vt) == mesh.vertex_count
+        assert len(vn) == mesh.vertex_count
+        assert len(f) == mesh.index_count // 3
+        # faces are 1-based and in range; corner ids repeat as p/t/n
+        first = f[0].split()[1:]
+        for corner in first:
+            a, b, c = map(int, corner.split("/"))
+            assert a == b == c and 1 <= a <= len(v)
+        # first vertex line round-trips the first position
+        got = np.fromstring(v[0][2:], sep=" ")
+        np.testing.assert_allclose(got, np.asarray(mesh.positions)[0],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_obj_from_planes_layout(self, tmp_path):
+        """MeshPlanes exports identically (same streams via properties)."""
+        ma = _mesh(planes=False)
+        mp = _mesh(planes=True)
+        pa, pp = tmp_path / "a.obj", tmp_path / "p.obj"
+        ME.to_obj(str(pa), ma)
+        ME.to_obj(str(pp), mp)
+        a_lines = [l for l in pa.read_text().splitlines()
+                   if not l.startswith("vn ")]
+        p_lines = [l for l in pp.read_text().splitlines()
+                   if not l.startswith("vn ")]
+        assert a_lines == p_lines  # positions/uvs/faces textually equal
+
+
+class TestNpzRoundTrip:
+    def test_round_trip(self, tmp_path):
+        mesh = _mesh()
+        p = tmp_path / "tile.npz"
+        ME.to_npz(str(p), mesh)
+        back = ME.from_npz(str(p))
+        for f in ("positions", "normals", "tangents", "uvs", "indices"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(back, f)), np.asarray(getattr(mesh, f)),
+                err_msg=f)
+        assert back.indices.dtype == np.asarray(mesh.indices).dtype
