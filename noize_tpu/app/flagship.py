@@ -67,6 +67,8 @@ def make_tile_step(
     """Build the jittable flagship step: (xpos, zpos, key) → outputs dict."""
     meta = meta or default_meta()
     settings = settings or default_settings()
+    if mesh_layout not in ("arrays", "planes"):
+        raise ValueError(f"unknown mesh layout {mesh_layout!r}")
     res = meta.generator_res
 
     def step(xpos, zpos, key):

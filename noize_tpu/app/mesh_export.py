@@ -20,7 +20,9 @@ def _streams(mesh):
     pos = np.asarray(mesh.positions, np.float32)
     nrm = np.asarray(mesh.normals, np.float32)
     uv = np.asarray(mesh.uvs, np.float32)
-    idx = np.asarray(mesh.indices).reshape(-1, 3)
+    # widen before the 1-based shift in to_obj: uint16 streams top out at
+    # flat index 65535, which idx + 1 would wrap to 0
+    idx = np.asarray(mesh.indices).astype(np.int64).reshape(-1, 3)
     return pos, nrm, uv, idx
 
 

@@ -315,7 +315,7 @@ def heightmap_mesh_planes(
     tile_size,
 ):
     """``heightmap_mesh`` in the component-major ``MeshPlanes`` layout
-    (bit-identical values — both stack ``vertex_plane_list``)."""
+    (same math; normals agree to a few ulp — see ``vertex_plane_list``)."""
     r = resolution
     off = (input_resolution - r) // 2
     t, l, rgt, u, d = _squaregrid_taps(heights, r, off)
@@ -366,8 +366,9 @@ def heightmap_mesh_overshoot_planes(
     tile_size,
 ):
     """``heightmap_mesh_overshoot`` in the component-major ``MeshPlanes``
-    layout (bit-identical values).  This is the production emission path on
-    TPU — see MeshPlanes."""
+    layout (same math; normals agree to a few ulp — see
+    ``vertex_plane_list``).  This is the production emission path on TPU —
+    see MeshPlanes."""
     r = resolution
     off = (input_resolution - r) // 2
     t, l, rgt, u, d = _tap_slices(heights, r, off)

@@ -199,28 +199,45 @@ def shard_mesh_indices(resolution: int, input_resolution: int, mesh_shape,
     return out
 
 
-def mesh_arrays_from_fields(fields, resolution: int, input_resolution: int,
-                            mesh_shape):
-    """Reassemble the per-shard overlapping vertex blocks into a
-    single-device ``MeshArrays`` (host/consumer bridge; also the
-    equivalence-test path).  Overlap rows/cols are identical on both
-    owners, so placement order is irrelevant."""
+def _reassemble_blocks(arr, resolution: int, input_resolution: int,
+                       mesh_shape, grid_axis: int):
+    """Shared shard-block reassembly: place each shard's (lr+1, lc+1)
+    vertex window into the full (r+1)² grid.  ``grid_axis`` is the index
+    of the vertex-ROW axis in ``arr`` (0 for the arrays layout's
+    (R+nx, R+ny, C), 1 for the planes layout's (12, R+nx, R+ny)).
+    Overlap rows/cols are identical on both owners, so placement order is
+    irrelevant."""
     r = resolution
     nx, ny = mesh_shape
     lr = input_resolution // nx
     lc = input_resolution // ny
+    shape = list(arr.shape)
+    shape[grid_axis] = r + 1
+    shape[grid_axis + 1] = r + 1
+    full = np.zeros(shape, np.float32)
+    pre = (slice(None),) * grid_axis
+    for i in range(nx):
+        for j in range(ny):
+            blk = arr[pre + (slice(i * (lr + 1), (i + 1) * (lr + 1)),
+                             slice(j * (lc + 1), (j + 1) * (lc + 1)))]
+            (rs, cs), (vz0, vx0) = shard_vertex_window(
+                r, input_resolution, mesh_shape, (i, j))
+            full[pre + (slice(vz0, vz0 + rs.stop),
+                        slice(vx0, vx0 + cs.stop))] = blk[pre + (rs, cs)]
+    return full
+
+
+def mesh_arrays_from_fields(fields, resolution: int, input_resolution: int,
+                            mesh_shape):
+    """Reassemble the per-shard overlapping vertex blocks into a
+    single-device ``MeshArrays`` (host/consumer bridge; also the
+    equivalence-test path)."""
+    r = resolution
     nverts = (r + 1) * (r + 1)
 
     def assemble(chan, width):
-        full = np.zeros((r + 1, r + 1, width), np.float32)
-        arr = np.asarray(chan)
-        for i in range(nx):
-            for j in range(ny):
-                blk = arr[i * (lr + 1):(i + 1) * (lr + 1),
-                          j * (lc + 1):(j + 1) * (lc + 1)]
-                (rs, cs), (vz0, vx0) = shard_vertex_window(
-                    r, input_resolution, mesh_shape, (i, j))
-                full[vz0:vz0 + rs.stop, vx0:vx0 + cs.stop] = blk[rs, cs]
+        full = _reassemble_blocks(np.asarray(chan), r, input_resolution,
+                                  mesh_shape, grid_axis=0)
         return jnp.asarray(full.reshape(nverts, width))
 
     return _mesh.MeshArrays(
@@ -237,18 +254,7 @@ def mesh_planes_from_fields(fields, resolution: int, input_resolution: int,
     """``mesh_arrays_from_fields`` for the ``layout="planes"`` output:
     reassemble the per-shard (12, lr+1, lc+1) blocks into a single-device
     ``MeshPlanes``."""
-    r = resolution
-    nx, ny = mesh_shape
-    lr = input_resolution // nx
-    lc = input_resolution // ny
-    arr = np.asarray(fields["planes"])
-    full = np.zeros((arr.shape[0], r + 1, r + 1), np.float32)
-    for i in range(nx):
-        for j in range(ny):
-            blk = arr[:, i * (lr + 1):(i + 1) * (lr + 1),
-                      j * (lc + 1):(j + 1) * (lc + 1)]
-            (rs, cs), (vz0, vx0) = shard_vertex_window(
-                r, input_resolution, mesh_shape, (i, j))
-            full[:, vz0:vz0 + rs.stop, vx0:vx0 + cs.stop] = blk[:, rs, cs]
+    full = _reassemble_blocks(np.asarray(fields["planes"]), resolution,
+                              input_resolution, mesh_shape, grid_axis=1)
     return _mesh.MeshPlanes(jnp.asarray(full),
-                            jnp.asarray(_mesh.grid_indices(r)))
+                            jnp.asarray(_mesh.grid_indices(resolution)))

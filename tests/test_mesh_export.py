@@ -38,7 +38,7 @@ class TestObjExport:
             a, b, c = map(int, corner.split("/"))
             assert a == b == c and 1 <= a <= len(v)
         # first vertex line round-trips the first position
-        got = np.fromstring(v[0][2:], sep=" ")
+        got = np.array(v[0][2:].split(), dtype=float)
         np.testing.assert_allclose(got, np.asarray(mesh.positions)[0],
                                    rtol=1e-5, atol=1e-6)
 
@@ -54,6 +54,29 @@ class TestObjExport:
         p_lines = [l for l in pp.read_text().splitlines()
                    if not l.startswith("vn ")]
         assert a_lines == p_lines  # positions/uvs/faces textually equal
+
+
+class _StubMesh:
+    """Minimal stream carrier for layout-independent export tests."""
+
+    def __init__(self, n, indices):
+        self.positions = np.zeros((n, 3), np.float32)
+        self.normals = np.tile([0, 1, 0], (n, 1)).astype(np.float32)
+        self.tangents = np.zeros((n, 4), np.float32)
+        self.uvs = np.zeros((n, 2), np.float32)
+        self.indices = indices
+
+
+class TestObjUint16Boundary:
+    def test_max_uint16_index_does_not_wrap(self, tmp_path):
+        """The 1-based OBJ shift must not wrap uint16 65535 → 0 (the
+        documented PositionStream16 ceiling is exactly 65536 vertices)."""
+        idx = np.array([65533, 65534, 65535], np.uint16)
+        p = tmp_path / "big.obj"
+        ME.to_obj(str(p), _StubMesh(65536, idx))
+        face = [l for l in p.read_text().splitlines()
+                if l.startswith("f ")][0]
+        assert "65536/65536/65536" in face and "/0/" not in face
 
 
 class TestNpzRoundTrip:
