@@ -76,6 +76,39 @@ DEMO_CONFIG = {
 }
 
 
+def _load_heightmap(path: str) -> np.ndarray:
+    """Load an external heightmap for erosion: .npy/.npz arrays directly,
+    anything else through PIL as a grayscale image (gated — PIL is not a
+    dependency).  Values are min-max normalized to the sim's [0, 1]
+    convention; non-square inputs are center-cropped square (the sim
+    operates on square tiles)."""
+    if path.endswith(".npy"):
+        arr = np.load(path)
+    elif path.endswith(".npz"):
+        z = np.load(path)
+        arr = z[list(z.files)[0]]
+    else:
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise SystemExit(
+                f"reading {path!r} needs PIL (not installed); convert the"
+                " heightmap to .npy instead") from e
+        arr = np.asarray(Image.open(path).convert("F"))
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim != 2:
+        raise SystemExit(f"heightmap must be 2-D, got shape {arr.shape}")
+    if arr.shape[0] != arr.shape[1]:
+        s = min(arr.shape)
+        r0 = (arr.shape[0] - s) // 2
+        c0 = (arr.shape[1] - s) // 2
+        arr = arr[r0:r0 + s, c0:c0 + s]
+    lo, hi = float(arr.min()), float(arr.max())
+    if hi > lo:
+        arr = (arr - lo) / (hi - lo)
+    return arr
+
+
 def _run(cfg: dict, outdir: str, tag: str):
     os.makedirs(outdir, exist_ok=True)
     pipe = build_pipeline(cfg)
@@ -115,6 +148,11 @@ def main(argv=None):
     erop.add_argument("--resolution", type=int, default=256)
     erop.add_argument("--mesh", action="store_true",
                       help="also emit the eroded tile mesh as OBJ + NPZ")
+    erop.add_argument("--input", metavar="HEIGHTMAP",
+                      help="erode an existing heightmap (.npy, or grayscale"
+                           " image readable by PIL if installed) instead of"
+                           " generating one; values are min-max normalized"
+                           " to [0, 1]")
 
     args = ap.parse_args(argv)
 
@@ -129,13 +167,20 @@ def main(argv=None):
         from ..erosion.params import ErosionSettings
         from ..erosion.sim import ErosionSim
 
-        if args.config:
+        if args.input:
+            arr = _load_heightmap(args.input)
+            cfg = {}
+            os.makedirs(args.outdir, exist_ok=True)
+            viz.to_png(os.path.join(args.outdir, "terrain.png"), arr)
+            print(f"terrain: {arr.shape} loaded from {args.input}")
+        elif args.config:
             with open(args.config) as fh:
                 cfg = json.load(fh)
+            arr = _run(cfg, args.outdir, "terrain")
         else:
             cfg = dict(DEMO_CONFIG, resolution=args.resolution)
             cfg["stages"] = cfg["stages"][:2]  # noise + blur, keep heights
-        arr = _run(cfg, args.outdir, "terrain")
+            arr = _run(cfg, args.outdir, "terrain")
         es_kwargs = cfg.get("erosion", {})
         if "BEHAVIOR" in es_kwargs:
             from ..erosion.params import ErosionMode
