@@ -273,6 +273,25 @@ def main():
         return {"ms": ms, "tiles": 16, "ms_per_tile": ms / 16}
     _safe(results, "5_multitile_4x4", _c5)
 
+    # config 5 with in-batch vertex emission (the reference's per-tile loop
+    # ends with mesh regeneration — LiveErosion.cs:302-315); planes layout
+    # keeps the vertex grid on the TPU-tiled minor dims under vmap
+    cfg5m = TL.TilePipelineConfig(
+        meta=meta5, octaves=13, noise_size=1700.0, blur_iterations=17,
+        erosion=es5, erosion_cycles=1, emit_mesh=True,
+    )
+    def _c5m():
+        base = jnp.asarray(origins)
+
+        def body(k):
+            off = jax.random.randint(k, (), 0, 1000)
+            out = TL.tile_batch(cfg5m, base + off)
+            return out["height"].sum() + out["mesh_planes"].sum()
+        ms = _time_chained(body, reps=2)
+        return {"ms": ms, "tiles": 16, "ms_per_tile": ms / 16,
+                "emits": "height + 12-plane vertex streams per tile"}
+    _safe(results, "5_multitile_4x4_mesh", _c5m)
+
     # --- phase breakdown at headline size ------------------------------------
     # Every entry uses the chained-scalar method (scan K reps in ONE jit,
     # scalar readback) — per-call latency timing through the tunnel bottoms

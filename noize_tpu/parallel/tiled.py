@@ -45,11 +45,19 @@ class TilePipelineConfig:
     flow_iterations: int = 0          # 0 = keep heights (flow overwrites them)
     erosion: Optional[ErosionSettings] = None
     erosion_cycles: int = 0
+    emit_mesh: bool = False           # also emit per-tile vertex planes
 
 
 def generate_tile(cfg: TilePipelineConfig, xpos, zpos, key):
     """One tile end-to-end on device: noise → blur chain → (flow | erosion)
-    → mesh-ready heights.  Pure function of (origin, key)."""
+    → mesh-ready heights.  Pure function of (origin, key).
+
+    With ``cfg.emit_mesh`` returns ``{"height": f32[R, R], "mesh_planes":
+    f32[12, tile_res+1, tile_res+1]}`` — the component-major vertex streams
+    (ops.mesh.MeshPlanes planes; vmap adds the batch axis in FRONT, so the
+    vertex grid stays on the TPU-tiled minor dims).  Triangle indices are
+    identical for every tile: take them once from
+    ``ops.mesh.grid_indices(cfg.meta.tile_res)``."""
     from ..ops import blur as _b
     from ..ops import flow as _f
 
@@ -69,6 +77,13 @@ def generate_tile(cfg: TilePipelineConfig, xpos, zpos, key):
         for _ in range(cfg.erosion_cycles):
             state = erosion_cycle(state, cfg.erosion, cfg.meta)
         h = state.world.height
+    if cfg.emit_mesh:
+        from ..ops import mesh as _m
+
+        planes = _m.heightmap_mesh_overshoot_planes(
+            h, cfg.meta.tile_res, res, float(cfg.meta.height),
+            float(cfg.meta.tile_size))
+        return {"height": h, "mesh_planes": planes.planes}
     return h
 
 
@@ -78,7 +93,8 @@ def tile_batch(cfg: TilePipelineConfig, origins: np.ndarray,
     P('batch') over a mesh when given.
 
     ``origins``: int array [T, 2] of (xpos, zpos) tile origins.
-    Returns f32[T, R, R] heightmaps.
+    Returns f32[T, R, R] heightmaps, or (with ``cfg.emit_mesh``) a dict
+    {"height": f32[T, R, R], "mesh_planes": f32[T, 12, tr+1, tr+1]}.
 
     Per-tile PRNG keys are derived from the tile's WORLD POSITION
     (``fold_in(fold_in(key(seed), xpos), zpos)``), not its batch slot, so a
@@ -102,7 +118,13 @@ def tile_batch(cfg: TilePipelineConfig, origins: np.ndarray,
     xs = jax.device_put(xs, sharding)
     zs = jax.device_put(zs, sharding)
     keys = jax.device_put(keys, NamedSharding(mesh, P("batch", None)))
-    out_sharding = NamedSharding(mesh, P("batch", None, None))
+    if cfg.emit_mesh:
+        out_sharding = {
+            "height": NamedSharding(mesh, P("batch", None, None)),
+            "mesh_planes": NamedSharding(mesh, P("batch", None, None, None)),
+        }
+    else:
+        out_sharding = NamedSharding(mesh, P("batch", None, None))
     return jax.jit(fn, out_shardings=out_sharding)(xs, zs, keys)
 
 

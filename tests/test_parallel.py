@@ -122,6 +122,33 @@ class TestTileBatch:
         want = np.asarray(TL.tile_batch(cfg, origins))  # unsharded
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+    def test_batch_mesh_emission_matches_single(self):
+        """emit_mesh batches per-tile MeshPlanes vertex streams; each
+        tile's planes equal the single-tile mesher on its heights."""
+        from noize_tpu.ops import mesh as MH
+
+        meta = TileSetMeta(tile_res=24, tile_size=24, generator_res=32,
+                           height=100, margin=4)
+        cfg = TL.TilePipelineConfig(
+            meta=meta, noise_type="Perlin", octaves=3, noise_size=100.0,
+            blur_iterations=1, emit_mesh=True,
+        )
+        origins = TL.grid_origins(meta, 2, 1)
+        out = TL.tile_batch(cfg, origins)
+        assert out["height"].shape == (2, 32, 32)
+        assert out["mesh_planes"].shape == (2, 12, 25, 25)
+        want = MH.heightmap_mesh_overshoot_planes(
+            out["height"][1], 24, 32, 100.0, 24.0)
+        got = np.asarray(out["mesh_planes"][1])
+        np.testing.assert_allclose(got, np.asarray(want.planes), rtol=5e-7)
+        # sharded batch carries the mesh channel too
+        bmesh = DM.batch_mesh()
+        origins8 = TL.grid_origins(meta, 4, 2)
+        out8 = TL.tile_batch(cfg, origins8, mesh=bmesh)
+        assert out8["mesh_planes"].shape == (8, 12, 25, 25)
+        np.testing.assert_allclose(
+            np.asarray(out8["mesh_planes"][1]), got, rtol=5e-7)
+
     def test_tiles_seamless_with_margin(self):
         """Adjacent tiles generated independently agree on their overlap —
         the reference's margin-consistency contract."""
