@@ -40,6 +40,7 @@ class ServedTile:
     batch_id: int
     latency_ms: float
     error: object = None     # the batch exception, delivered per order
+    mesh_planes: object = None  # f32[12, tr+1, tr+1] when config.emit_mesh
 
 
 class TileServer:
@@ -142,6 +143,12 @@ class TileServer:
                     self.config, origins, mesh=self.mesh, seed=self.seed,
                 )
                 jax.block_until_ready(tiles)
+                # emit_mesh configs return {"height", "mesh_planes"}
+                if isinstance(tiles, dict):
+                    heights_arr = tiles["height"]
+                    planes_arr = tiles["mesh_planes"]
+                else:
+                    heights_arr, planes_arr = tiles, None
                 dt = (time.perf_counter() - t0) * 1e3
                 self.batches += 1
                 for i, order in enumerate(orders):
@@ -152,9 +159,11 @@ class TileServer:
                         try:
                             order.on_complete(ServedTile(
                                 request=order.request,
-                                heights=tiles[i],
+                                heights=heights_arr[i],
                                 batch_id=self.batches,
                                 latency_ms=dt,
+                                mesh_planes=(None if planes_arr is None
+                                             else planes_arr[i]),
                             ))
                         except Exception as e:
                             self.errors.append(e)

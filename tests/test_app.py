@@ -265,6 +265,31 @@ class TestTileServer:
             by_id["t0"][b:-b, m.tile_res + b:-b],
             by_id["t1"][b:-b, b:overlap - b], atol=1e-5)
 
+    def test_serves_mesh_planes(self):
+        """emit_mesh configs deliver per-tile vertex planes alongside
+        heights (and plain configs deliver mesh_planes=None)."""
+        from noize_tpu.app.server import TileServer
+        from noize_tpu.parallel import tiled as TL
+
+        cfg = TL.TilePipelineConfig(
+            meta=SMALL_META, noise_type="Perlin", octaves=2, noise_size=64.0,
+            blur_iterations=1, emit_mesh=True,
+        )
+        srv = TileServer(cfg, batch_size=2, max_wait_ms=50.0).start()
+        done = []
+        for i in range(2):
+            srv.submit(f"t{i}", (i, 0), on_complete=done.append)
+        assert srv.drain(timeout=120)
+        srv.stop()
+        assert len(done) == 2 and not srv.errors
+        tr = SMALL_META.tile_res
+        for st in done:
+            assert st.error is None
+            assert np.asarray(st.heights).shape == (
+                SMALL_META.generator_res,) * 2
+            assert np.asarray(st.mesh_planes).shape == (12, tr + 1, tr + 1)
+            assert np.isfinite(np.asarray(st.mesh_planes)).all()
+
 
 class TestFlagship:
     def test_tile_step_small(self):
