@@ -176,6 +176,32 @@ class TestCli:
         with pytest.raises(SystemExit):
             build_pipeline({"stages": [{"stage": "Nope"}]})
 
+    def test_load_heightmap(self, tmp_path):
+        """--input loader: npy/npz, min-max normalization, center-crop of
+        non-square inputs, dimensionality check."""
+        from noize_tpu.app.cli import _load_heightmap
+
+        rng = np.random.default_rng(2)
+        a = rng.uniform(100, 900, (20, 26)).astype(np.float32)
+        p = tmp_path / "dem.npy"
+        np.save(p, a)
+        got = _load_heightmap(str(p))
+        assert got.shape == (20, 20)
+        assert got.min() == 0.0 and got.max() == 1.0
+        # center crop: columns 3..23 of the original
+        want = a[:, 3:23]
+        want = (want - want.min()) / (want.max() - want.min())
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+        pz = tmp_path / "dem.npz"
+        np.savez(pz, height=a)
+        assert _load_heightmap(str(pz)).shape == (20, 20)
+
+        bad = tmp_path / "bad.npy"
+        np.save(bad, np.zeros((3, 3, 3), np.float32))
+        with pytest.raises(SystemExit):
+            _load_heightmap(str(bad))
+
 
 class TestDrawers:
     def test_stream_drawer(self, tmp_path):
