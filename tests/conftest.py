@@ -32,7 +32,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # marking keeps the list in one place.
 _QUICK_MODULES = {
     "test_core", "test_noise", "test_fractal", "test_filters", "test_flow",
-    "test_curves", "test_misc", "test_erosion",
+    "test_curves", "test_misc", "test_erosion", "test_mesh",
+    "test_mesh_export",
 }
 
 
