@@ -640,10 +640,18 @@ def main():
         generator_res=res, height=1000, margin=margin,
     ).validate()
     settings = ErosionSettings()  # reference defaults: 1000 particles, MAXAGE 100
+    # Mesh layout: pick the faster emission from the measured phase
+    # entries (planes is the TPU-native choice — see ops.mesh.MeshPlanes —
+    # but the decision stays data-driven and is recorded in the entry)
+    mesh_arr_ms = _got("mesh")
+    mesh_pl_ms = _got("mesh_planes")
+    flag_layout = ("planes" if mesh_arr_ms and mesh_pl_ms
+                   and mesh_pl_ms < 0.95 * mesh_arr_ms else "arrays")
     step, _, _ = make_tile_step(
         meta, settings,
         octaves=13, blur_iterations=17, flow_iterations=8,
         erosion_cycles=settings.CYCLES, emit_mesh=True,
+        mesh_layout=flag_layout,
     )
     key = jax.random.PRNGKey(0)
     try:
@@ -671,7 +679,9 @@ def main():
                 )
                 s = out["height"].sum() + out["stream"].sum()
                 if "mesh" in out:
-                    s = s + out["mesh"].positions.sum()
+                    m = out["mesh"]
+                    s = s + (m.planes.sum() if flag_layout == "planes"
+                             else m.positions.sum())
                 return carry + s, None
             total, _ = jax.lax.scan(body, jnp.float32(0.0),
                                     jax.random.split(key, K))
@@ -697,7 +707,7 @@ def main():
                                         max(walls) * 0.5) / K, 3),
             "rtt_ms_used": round(rtt, 2),
             "pipelined_ms": ms_pipe, "latency_ms": ms_lat, "all_ms": times,
-            "resolution": res,
+            "resolution": res, "mesh_layout": flag_layout,
         }
     except Exception as e:
         results["flagship_2048"] = {"error": f"{type(e).__name__}: {e}"[:300]}
