@@ -726,5 +726,37 @@ def main():
     }))
 
 
+def _backend_down_fallback(exc):
+    """The axon tunnel is sometimes unavailable for hours (observed this
+    round).  When backend init itself fails, emit the last recorded TPU
+    flagship number EXPLICITLY labeled stale, so the driver's JSON line
+    still carries information without pretending to be a fresh run."""
+    import json as _json
+    import os as _os
+
+    entry = {"metric": "flagship 2048^2 tile: noise+gauss5x17+flow+"
+                       "erosion(3cyc)+mesh",
+             "value": -1, "unit": "ms", "vs_baseline": 0.0,
+             "error": f"TPU backend unavailable: {exc}"[:200]}
+    try:
+        path = _os.path.join(_os.path.dirname(__file__) or ".",
+                             "bench_results.json")
+        with open(path) as fh:
+            prior = _json.load(fh)
+        ms = prior.get("flagship_2048", {}).get("ms")
+        if ms:
+            entry["stale_value_from_prior_run_ms"] = round(float(ms), 3)
+    except Exception:
+        pass
+    print(_json.dumps(entry))
+
+
 if __name__ == "__main__":
+    try:
+        import jax as _jax
+
+        _jax.devices()
+    except Exception as _e:  # backend init failure — not a compute error
+        _backend_down_fallback(_e)
+        raise SystemExit(1)
     main()
