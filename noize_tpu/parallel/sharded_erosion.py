@@ -499,7 +499,8 @@ def sharded_tile_step(mesh: Mesh, meta: TileSetMeta,
                       blur_width: int = 5, blur_sigma: float = 1.0,
                       blur_iterations: int = 17, flow_iterations: int = 8,
                       erosion_cycles: int = None, chunk: int = 8,
-                      emit_mesh: bool = False):
+                      emit_mesh: bool = False,
+                      mesh_layout: str = "arrays"):
     """The flagship tile step (app.flagship.make_tile_step) on ONE grid
     sharded P('x','y') over the mesh: sharded fractal noise → Gauss chain →
     flow map → N sharded erosion cycles.  Returns the final SimState plus
@@ -531,7 +532,7 @@ def sharded_tile_step(mesh: Mesh, meta: TileSetMeta,
 
         mesh_fields = sharded_heightmap_mesh(
             mesh, state.world.height, meta.tile_res, res,
-            float(meta.height), float(meta.tile_size))
+            float(meta.height), float(meta.tile_size), layout=mesh_layout)
         return state, flow_v, mesh_fields
     return state, flow_v
 
@@ -573,15 +574,18 @@ class ShardedErosionSim(_ErosionSimBase):
             chunk=self.chunk)
         self.cycle_count += 1
 
-    def mesh_fields(self, variant: str = "overshoot"):
+    def mesh_fields(self, variant: str = "overshoot",
+                    layout: str = "arrays"):
         """Per-vertex mesh channels for the current height map, sharded
-        like the world (ErosionSim's mesher analog — LiveErosion.cs:302)."""
+        like the world (ErosionSim's mesher analog — LiveErosion.cs:302).
+        ``layout="planes"`` emits the component-major MeshPlanes channels
+        (see parallel.sharded_mesh.sharded_heightmap_mesh)."""
         from .sharded_mesh import sharded_heightmap_mesh
 
         return sharded_heightmap_mesh(
             self.mesh, self.state.world.height, self.meta.tile_res,
             self.meta.generator_res, float(self.meta.height),
-            float(self.meta.tile_size), variant=variant)
+            float(self.meta.tile_size), variant=variant, layout=layout)
 
     # --- persistence (SaveErosionState parity, LiveErosion.cs:111-116) ------
 

@@ -529,6 +529,9 @@ class TestShardedMesh:
         nx, ny = mesh.shape["x"], mesh.shape["y"]
         assert f["positions"].shape == (32 + nx, 32 + ny, 3)
         assert np.isfinite(np.asarray(f["normals"])).all()
+        fp = sim.mesh_fields(layout="planes")
+        assert fp["planes"].shape == (12, 32 + nx, 32 + ny)
+        assert np.isfinite(np.asarray(fp["planes"])).all()
 
 
 class TestShardedCheckpoint:
