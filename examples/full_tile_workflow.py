@@ -8,10 +8,15 @@ Run:  python examples/full_tile_workflow.py [outdir]
 (CPU: prefix with  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu)
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# NOIZE_EXAMPLE_FAST=1 shrinks every size so the example doubles as a
+# CPU smoke test (tests/test_examples.py) without changing its structure
+FAST = bool(os.environ.get("NOIZE_EXAMPLE_FAST"))
 
 from noize_tpu.app.drawers import StreamDrawer, TileDrawer
 from noize_tpu.app.tile_generator import MeshTileGenerator
@@ -25,14 +30,23 @@ from noize_tpu.pipeline.stages import (
 
 
 def main(outdir="out/full_tile"):
-    meta = TileSetMeta(tile_res=192, tile_size=192, generator_res=256,
-                       height=1000, margin=32).validate()
-    settings = ErosionSettings(PARTICLES_PER_CYCLE=500, MAXAGE=48, CYCLES=2,
-                               WATER_STEPS=6)
+    if FAST:
+        meta = TileSetMeta(tile_res=48, tile_size=48, generator_res=64,
+                           height=1000, margin=8).validate()
+        settings = ErosionSettings(PARTICLES_PER_CYCLE=64, MAXAGE=8,
+                                   CYCLES=1, WATER_STEPS=2, PILING_RADIUS=4)
+        octaves, blur_iters = 4, 3
+    else:
+        meta = TileSetMeta(tile_res=192, tile_size=192, generator_res=256,
+                           height=1000, margin=32).validate()
+        settings = ErosionSettings(PARTICLES_PER_CYCLE=500, MAXAGE=48,
+                                   CYCLES=2, WATER_STEPS=6)
+        octaves, blur_iters = 13, 17
     sm = PipelineStateManager(outdir + "/saves", "island", "v1")
     source = Pipeline([
-        NoiseStage(noiseType="Simplex", hurst=0.4, octaves=13, noiseSize=1700),
-        StageGaussianBlur(sigma="s1d00", width=5, iterations=17),
+        NoiseStage(noiseType="Simplex", hurst=0.4, octaves=octaves,
+                   noiseSize=1700),
+        StageGaussianBlur(sigma="s1d00", width=5, iterations=blur_iters),
         WriteGeneratorContextStage(contextAlias="TERRAIN_HEIGHT"),
     ], state_manager=sm, name="generator")
 

@@ -8,10 +8,15 @@ Run on N virtual devices:
   python examples/multichip_field.py
 """
 
+import os
 import time
 
 import jax
 import numpy as np
+
+# NOIZE_EXAMPLE_FAST=1 shrinks every size so the example doubles as a
+# CPU smoke test (tests/test_examples.py) without changing its structure
+FAST = bool(os.environ.get("NOIZE_EXAMPLE_FAST"))
 
 from noize_tpu.core.tiles import TileSetMeta
 from noize_tpu.erosion.params import ErosionSettings
@@ -20,17 +25,18 @@ from noize_tpu.parallel import sharded_ops as SO
 from noize_tpu.parallel import tiled as TL
 
 
-def main():
+def main(ckpt_dir="out/sharded_ckpt"):
     print("devices:", jax.devices())
     mesh = DM.spatial_mesh()
-    res = 1024
+    res = 256 if FAST else 1024
+    octaves, blur_iters, flow_iters = (4, 3, 4) if FAST else (13, 17, 8)
 
     t0 = time.perf_counter()
     h = SO.sharded_fractal(mesh, res, 0, 0, noise_type="Simplex",
-                           octaves=13, hurst=0.4, noise_size=1700.0)
-    h = SO.sharded_gauss_blur(mesh, h, 5, 1.0, iterations=17)
+                           octaves=octaves, hurst=0.4, noise_size=1700.0)
+    h = SO.sharded_gauss_blur(mesh, h, 5, 1.0, iterations=blur_iters)
     h = SO.sharded_thermal_erosion(mesh, h, 45.0, 0.5, 1.0, iterations=2)
-    v = SO.sharded_flow_map(mesh, h, iterations=8)
+    v = SO.sharded_flow_map(mesh, h, iterations=flow_iters)
     v.block_until_ready()
     print(f"sp path: {res}² field over {mesh.shape} mesh "
           f"in {(time.perf_counter()-t0)*1e3:.0f}ms; "
@@ -44,8 +50,11 @@ def main():
     t0 = time.perf_counter()
     sim = ShardedErosionSim(
         mesh, np.asarray(h),
-        settings=ErosionSettings(PARTICLES_PER_CYCLE=256, MAXAGE=24,
-                                 WATER_STEPS=4, CYCLES=1, PILING_RADIUS=8),
+        settings=ErosionSettings(
+            PARTICLES_PER_CYCLE=64 if FAST else 256,
+            MAXAGE=8 if FAST else 24,
+            WATER_STEPS=2 if FAST else 4, CYCLES=1,
+            PILING_RADIUS=4 if FAST else 8),
         meta=TileSetMeta(tile_res=res, tile_size=res, generator_res=res,
                          height=1000, margin=0),
     )
@@ -73,11 +82,11 @@ def main():
     # sharded checkpoint/resume (round 3): persists the full sim state
     from noize_tpu.core.store import PipelineStateManager
 
-    sim.state_manager = PipelineStateManager("out/sharded_ckpt")
+    sim.state_manager = PipelineStateManager(ckpt_dir)
     sim.save_erosion_state()
     sim2 = ShardedErosionSim(
         mesh, np.zeros((res, res), np.float32), settings=sim.settings,
-        meta=sim.meta, state_manager=PipelineStateManager("out/sharded_ckpt"))
+        meta=sim.meta, state_manager=PipelineStateManager(ckpt_dir))
     sim2.restore_erosion_state()
     same = bool(np.array_equal(np.asarray(sim2.height_map),
                                np.asarray(sim.height_map)))

@@ -19,6 +19,10 @@ import time
 
 import numpy as np
 
+# NOIZE_EXAMPLE_FAST=1 shrinks every size so the example doubles as a
+# CPU smoke test (tests/test_examples.py) without changing its structure
+FAST = bool(os.environ.get("NOIZE_EXAMPLE_FAST"))
+
 from noize_tpu.app import mesh_export
 from noize_tpu.app.server import TileServer
 from noize_tpu.core.tiles import TileSetMeta
@@ -30,12 +34,21 @@ from noize_tpu.parallel import tiled as TL
 
 def main(outdir="out/serving"):
     os.makedirs(outdir, exist_ok=True)
-    meta = TileSetMeta(tile_res=192, tile_size=192, generator_res=256,
-                       height=1000, margin=32).validate()
+    if FAST:
+        meta = TileSetMeta(tile_res=48, tile_size=48, generator_res=64,
+                           height=1000, margin=8).validate()
+        es = ErosionSettings(PARTICLES_PER_CYCLE=64, MAXAGE=8,
+                             WATER_STEPS=2, CYCLES=1, PILING_RADIUS=4)
+        octaves, blur_iters = 4, 2
+    else:
+        meta = TileSetMeta(tile_res=192, tile_size=192, generator_res=256,
+                           height=1000, margin=32).validate()
+        es = ErosionSettings(PARTICLES_PER_CYCLE=300, MAXAGE=32,
+                             WATER_STEPS=4, CYCLES=1, PILING_RADIUS=8)
+        octaves, blur_iters = 8, 5
     cfg = TL.TilePipelineConfig(
-        meta=meta, octaves=8, noise_size=900.0, blur_iterations=5,
-        erosion=ErosionSettings(PARTICLES_PER_CYCLE=300, MAXAGE=32,
-                                WATER_STEPS=4, CYCLES=1, PILING_RADIUS=8),
+        meta=meta, octaves=octaves, noise_size=900.0,
+        blur_iterations=blur_iters, erosion=es,
         erosion_cycles=1,
         emit_mesh=True,
     )
