@@ -43,6 +43,30 @@ class TestStages:
         )
         np.testing.assert_allclose(np.asarray(out.data), np.asarray(want), atol=1e-7)
 
+    def test_smooth_blur_stage_matches_op(self):
+        from noize_tpu.ops import blur as B
+        from noize_tpu.ops.fractal import fractal
+
+        out = Pipeline([
+            S.NoiseStage(noiseType="Perlin", octaves=3, noiseSize=200),
+            S.StageSmoothBlur(width=3, iterations=2),
+        ]).run(gen())
+        want = fractal(32, 0, 0, noise_type="Perlin", octaves=3,
+                       noise_size=200.0)
+        for _ in range(2):
+            want = B.smooth_blur(want, 3)
+        np.testing.assert_allclose(np.asarray(out.data), np.asarray(want),
+                                   atol=1e-7)
+
+    def test_generator_pipeline_subclass(self):
+        # Scripts/GeneratorPipeline.cs:11-13 — trivial concrete pipeline;
+        # behaves exactly like Pipeline
+        from noize_tpu.pipeline.driver import GeneratorPipeline
+
+        out = GeneratorPipeline(
+            [S.NoiseStage(noiseType="Perlin", octaves=3)]).run(gen())
+        assert np.asarray(out.data).shape == (32, 32)
+
     def test_requirement_error(self):
         with pytest.raises(RequirementError):
             S.KernelFilterStage().apply(PipelineWorkItem(data=ReduceData()))
