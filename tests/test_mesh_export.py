@@ -56,6 +56,45 @@ class TestObjExport:
         assert a_lines == p_lines  # positions/uvs/faces textually equal
 
 
+class TestNativeObjWriter:
+    def test_native_matches_numpy_byte_for_byte(self, tmp_path):
+        """serde_native.cpp::nz_obj_write must emit EXACTLY the text the
+        numpy fallback emits (same %.7g formatting) — consumers may diff
+        exports across hosts with/without the toolchain."""
+        import pytest
+
+        from noize_tpu import native
+
+        if not native.available() or not hasattr(native._load(),
+                                                 "nz_obj_write"):
+            pytest.skip("native obj writer unavailable")
+        mesh = _mesh()
+        pos, nrm, uv, idx = ME._streams(mesh)
+        # negative coords, tiny normals components, exact integers — the
+        # formatting corners %.7g has to agree on
+        pos = pos.copy()
+        pos[0] = [-1.5, 0.0, 12345678.0]
+        pos[1] = [1e-8, -0.0, 2.0]
+        nat, ref = tmp_path / "nat.obj", tmp_path / "ref.obj"
+        native.obj_write(str(nat), "noize_tile", pos, nrm, uv, idx)
+        faces = idx + 1
+        with open(ref, "w") as fh:
+            fh.write("o noize_tile\n")
+            np.savetxt(fh, pos, fmt="v %.7g %.7g %.7g")
+            np.savetxt(fh, uv, fmt="vt %.7g %.7g")
+            np.savetxt(fh, nrm, fmt="vn %.7g %.7g %.7g")
+            np.savetxt(fh, np.repeat(faces, 3, axis=1),
+                       fmt="f %d/%d/%d %d/%d/%d %d/%d/%d")
+        assert nat.read_bytes() == ref.read_bytes()
+
+    def test_to_obj_routes_through_native(self, tmp_path):
+        """to_obj should produce the same file whichever path runs."""
+        mesh = _mesh()
+        p = tmp_path / "tile.obj"
+        ME.to_obj(str(p), mesh)
+        assert p.stat().st_size > 0
+
+
 class _StubMesh:
     """Minimal stream carrier for layout-independent export tests."""
 
