@@ -16,7 +16,7 @@ import numpy as np
 
 # NOIZE_EXAMPLE_FAST=1 shrinks every size so the example doubles as a
 # CPU smoke test (tests/test_examples.py) without changing its structure
-FAST = bool(os.environ.get("NOIZE_EXAMPLE_FAST"))
+FAST = os.environ.get("NOIZE_EXAMPLE_FAST") not in (None, "", "0")
 
 from noize_tpu.core.tiles import TileSetMeta
 from noize_tpu.erosion.params import ErosionSettings
@@ -91,15 +91,25 @@ def main(ckpt_dir="out/sharded_ckpt"):
     same = bool(np.array_equal(np.asarray(sim2.height_map),
                                np.asarray(sim.height_map)))
     print(f"sp checkpoint: saved + restored bit-equal: {same}")
+    assert same, "sharded checkpoint restore mismatch"
 
     bmesh = DM.batch_mesh()
     n = len(jax.devices())
-    meta = TileSetMeta(tile_res=96, tile_size=96, generator_res=128,
-                       height=1000, margin=16)
+    if FAST:
+        meta = TileSetMeta(tile_res=48, tile_size=48, generator_res=64,
+                           height=1000, margin=8)
+        cfg_es = ErosionSettings(PARTICLES_PER_CYCLE=64, MAXAGE=8,
+                                 CYCLES=1, WATER_STEPS=2, PILING_RADIUS=4)
+        octaves, blur_iters = 4, 2
+    else:
+        meta = TileSetMeta(tile_res=96, tile_size=96, generator_res=128,
+                           height=1000, margin=16)
+        cfg_es = ErosionSettings(PARTICLES_PER_CYCLE=200, MAXAGE=24,
+                                 CYCLES=1, WATER_STEPS=4)
+        octaves, blur_iters = 8, 5
     cfg = TL.TilePipelineConfig(
-        meta=meta, octaves=8, noise_size=900.0, blur_iterations=5,
-        erosion=ErosionSettings(PARTICLES_PER_CYCLE=200, MAXAGE=24,
-                                CYCLES=1, WATER_STEPS=4),
+        meta=meta, octaves=octaves, noise_size=900.0,
+        blur_iterations=blur_iters, erosion=cfg_es,
         erosion_cycles=1,
     )
     origins = TL.grid_origins(meta, n, 1)

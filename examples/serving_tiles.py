@@ -21,7 +21,7 @@ import numpy as np
 
 # NOIZE_EXAMPLE_FAST=1 shrinks every size so the example doubles as a
 # CPU smoke test (tests/test_examples.py) without changing its structure
-FAST = bool(os.environ.get("NOIZE_EXAMPLE_FAST"))
+FAST = os.environ.get("NOIZE_EXAMPLE_FAST") not in (None, "", "0")
 
 from noize_tpu.app import mesh_export
 from noize_tpu.app.server import TileServer

@@ -23,6 +23,7 @@
 #include <vector>
 
 #include <fcntl.h>
+#include <locale.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
@@ -54,7 +55,7 @@ int write_all(int fd, const uint8_t* p, size_t n) {
     ssize_t w = ::write(fd, p, n);
     if (w < 0) {
       if (errno == EINTR) continue;
-      return -1;
+      return -errno;  // callers report the real cause (ENOSPC vs EPERM)
     }
     p += w;
     n -= static_cast<size_t>(w);
@@ -161,6 +162,7 @@ class WritePool {
     if (rc == 0 && ::fsync(fd) != 0) rc = -errno;
     ::close(fd);
     if (rc == 0 && ::rename(tmp.c_str(), job.path.c_str()) != 0) rc = -errno;
+    if (rc != 0) ::unlink(tmp.c_str());
     return rc;
   }
 
@@ -204,6 +206,7 @@ int nz_write(const char* path, const void* data, uint64_t nbytes) {
   if (rc == 0 &&
       ::rename((std::string(path) + ".tmp").c_str(), path) != 0)
     rc = -errno;
+  if (rc != 0) ::unlink((std::string(path) + ".tmp").c_str());
   return rc;
 }
 
@@ -283,6 +286,12 @@ int64_t nz_obj_write(const char* path, const char* name, const float* pos,
   int fd = ::open(tmp.c_str(), O_WRONLY | O_CREAT | O_TRUNC, 0644);
   if (fd < 0) return -errno;
 
+  // %g is LC_NUMERIC-sensitive (a de_DE host would emit "1,5" — invalid
+  // OBJ, and not byte-identical to the locale-independent numpy path);
+  // pin the C locale for this thread while formatting
+  locale_t c_loc = ::newlocale(LC_NUMERIC_MASK, "C", (locale_t)0);
+  locale_t old_loc = c_loc ? ::uselocale(c_loc) : (locale_t)0;
+
   constexpr size_t kBuf = 1 << 20;
   std::vector<char> buf(kBuf + 512);  // slack for one max-size line
   size_t used = 0;
@@ -307,8 +316,14 @@ int64_t nz_obj_write(const char* path, const char* name, const float* pos,
     while (n) buf[used++] = digits[--n];
   };
 
-  used += static_cast<size_t>(
-      snprintf(buf.data() + used, 256, "o %s\n", name));
+  // header: the name is caller-controlled and unbounded — write it
+  // directly rather than through the fixed-size line buffer
+  {
+    std::string header = std::string("o ") + name + "\n";
+    rc = write_all(fd, reinterpret_cast<const uint8_t*>(header.data()),
+                   header.size());
+    total += static_cast<int64_t>(header.size());
+  }
   for (uint64_t i = 0; i < n_verts && rc == 0; ++i) {
     used += static_cast<size_t>(
         snprintf(buf.data() + used, 256, "v %.7g %.7g %.7g\n",
@@ -349,7 +364,10 @@ int64_t nz_obj_write(const char* path, const char* name, const float* pos,
   flush(0);
   if (rc == 0 && ::fsync(fd) != 0) rc = -errno;
   ::close(fd);
+  if (old_loc) ::uselocale(old_loc);
+  if (c_loc) ::freelocale(c_loc);
   if (rc == 0 && ::rename(tmp.c_str(), path) != 0) rc = -errno;
+  if (rc != 0) ::unlink(tmp.c_str());  // no partial .tmp litter on failure
   return rc == 0 ? total : rc;
 }
 

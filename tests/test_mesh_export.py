@@ -56,43 +56,75 @@ class TestObjExport:
         assert a_lines == p_lines  # positions/uvs/faces textually equal
 
 
+class _CornerMesh:
+    """Real mesh streams plus %.7g formatting corners (negatives, exact
+    zeros, big/tiny magnitudes)."""
+
+    def __init__(self):
+        m = _mesh()
+        self.positions = np.asarray(m.positions).copy()
+        self.positions[0] = [-1.5, 0.0, 12345678.0]
+        self.positions[1] = [1e-8, -0.0, 2.0]
+        self.normals = np.asarray(m.normals)
+        self.tangents = np.asarray(m.tangents)
+        self.uvs = np.asarray(m.uvs)
+        self.indices = np.asarray(m.indices)
+
+
+def _require_native():
+    import pytest
+
+    from noize_tpu import native
+
+    if not native.available() or not hasattr(native._load(),
+                                             "nz_obj_write"):
+        pytest.skip("native obj writer unavailable")
+    return native
+
+
 class TestNativeObjWriter:
-    def test_native_matches_numpy_byte_for_byte(self, tmp_path):
-        """serde_native.cpp::nz_obj_write must emit EXACTLY the text the
-        numpy fallback emits (same %.7g formatting) — consumers may diff
-        exports across hosts with/without the toolchain."""
-        import pytest
-
-        from noize_tpu import native
-
-        if not native.available() or not hasattr(native._load(),
-                                                 "nz_obj_write"):
-            pytest.skip("native obj writer unavailable")
-        mesh = _mesh()
-        pos, nrm, uv, idx = ME._streams(mesh)
-        # negative coords, tiny normals components, exact integers — the
-        # formatting corners %.7g has to agree on
-        pos = pos.copy()
-        pos[0] = [-1.5, 0.0, 12345678.0]
-        pos[1] = [1e-8, -0.0, 2.0]
+    def test_native_matches_fallback_byte_for_byte(self, tmp_path,
+                                                   monkeypatch):
+        """serde_native.cpp::nz_obj_write must emit EXACTLY the text
+        to_obj's numpy fallback emits — consumers may diff exports across
+        hosts with/without the toolchain.  The reference file is produced
+        by the REAL fallback (native path stubbed out), so the format
+        spec lives in exactly two places and this compares them."""
+        native = _require_native()
+        mesh = _CornerMesh()
         nat, ref = tmp_path / "nat.obj", tmp_path / "ref.obj"
-        native.obj_write(str(nat), "noize_tile", pos, nrm, uv, idx)
-        faces = idx + 1
-        with open(ref, "w") as fh:
-            fh.write("o noize_tile\n")
-            np.savetxt(fh, pos, fmt="v %.7g %.7g %.7g")
-            np.savetxt(fh, uv, fmt="vt %.7g %.7g")
-            np.savetxt(fh, nrm, fmt="vn %.7g %.7g %.7g")
-            np.savetxt(fh, np.repeat(faces, 3, axis=1),
-                       fmt="f %d/%d/%d %d/%d/%d %d/%d/%d")
+        ME.to_obj(str(nat), mesh)
+
+        def _unavailable(*a, **k):
+            raise native.NativeIOError("stubbed out")
+
+        monkeypatch.setattr(native, "obj_write", _unavailable)
+        ME.to_obj(str(ref), mesh)
         assert nat.read_bytes() == ref.read_bytes()
 
-    def test_to_obj_routes_through_native(self, tmp_path):
-        """to_obj should produce the same file whichever path runs."""
-        mesh = _mesh()
+    def test_to_obj_routes_through_native(self, tmp_path, monkeypatch):
+        """The fast path must actually be the one taken when available."""
+        native = _require_native()
+        calls = []
+        real = native.obj_write
+        monkeypatch.setattr(
+            native, "obj_write",
+            lambda *a, **k: (calls.append(a[0]), real(*a, **k))[1])
         p = tmp_path / "tile.obj"
-        ME.to_obj(str(p), mesh)
+        ME.to_obj(str(p), _mesh())
+        assert calls == [str(p)]
         assert p.stat().st_size > 0
+
+    def test_long_mesh_name_not_truncated(self, tmp_path):
+        """A >256-char object name must round-trip unmangled (no NUL
+        bytes, no buffer-bound truncation in the native header path)."""
+        _require_native()
+        name = "x" * 400
+        p = tmp_path / "long.obj"
+        ME.to_obj(str(p), _mesh(), name=name)
+        data = p.read_bytes()
+        assert b"\x00" not in data
+        assert data.startswith(b"o " + name.encode() + b"\n")
 
 
 class _StubMesh:
