@@ -713,6 +713,35 @@ def main():
         results["flagship_2048"] = {"error": f"{type(e).__name__}: {e}"[:300]}
         ms = float("nan")
 
+    # --- host-side IO (backend-independent): mesh export throughput ---------
+    # the serving hand-off is a host write (mesh_export.to_obj via
+    # native/serde_native.cpp::nz_obj_write); measured here so export
+    # regressions surface alongside the device numbers
+    try:
+        import tempfile
+
+        from noize_tpu.app import mesh_export as _me
+        from noize_tpu import native as _nat
+
+        rng_io = np.random.default_rng(3)
+        nio = 513 * 513
+        posn = rng_io.uniform(-1e3, 1e3, (nio, 3)).astype(np.float32)
+        nrmn = rng_io.uniform(-1, 1, (nio, 3)).astype(np.float32)
+        uvn = rng_io.uniform(0, 1, (nio, 2)).astype(np.float32)
+        idxn = np.arange(512 * 512 * 6, dtype=np.uint32) % nio
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            nbytes = _nat.obj_write(os.path.join(td, "t.obj"), "bench",
+                                    posn, nrmn, uvn, idxn)
+            dt = time.perf_counter() - t0
+        results["host_io"] = {
+            "obj_export_512sq_ms": round(dt * 1e3, 1),
+            "obj_export_mb_per_s": round(nbytes / dt / 1e6, 1),
+            "writer": "native",
+        }
+    except Exception as e:
+        results["host_io"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     with open(os.path.join(os.path.dirname(__file__) or ".", "bench_results.json"), "w") as fh:
         json.dump(results, fh, indent=1)
 
