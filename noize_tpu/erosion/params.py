@@ -21,9 +21,38 @@ class ErosionMode(Enum):
     ONLY_FLOW_WATER = 3
 
 
+# ErosionParameters fields that are pure arithmetic inputs to the cycle —
+# safe to pass as traced scalars, so the inspector-slider workflow
+# (LiveErosion tweaks ErosionSettings between triggers) never recompiles.
+# Structural fields stay trace-time static: loop bounds and kernel widths
+# (MAXAGE, PILING_RADIUS), Python-level mode gates (EXACT_PILES,
+# VEGETATION_FRICTION), and the pile-shape values the serial exact-pile
+# transcription consumes (MIN_PILE_INCREMENT, PILE_THRESHOLD).
+TUNABLE_FIELDS = (
+    "INERTIA", "GRAVITY", "DRAG", "FRICTION", "EVAP", "EROSION",
+    "DEPOSITION", "FLOW_HEIGHT_CONTRIBUTION", "SLOW_CULL_ANGLE",
+    "SLOW_CULL_SPEED", "CAPACITY", "TERMINAL_VELOCITY",
+    "SURFACE_EVAPORATION_RATE", "POOL_PLACEMENT_MULTIPLIER",
+    "TRACK_PLACEMENT_MULTIPLIER", "FLOW_LOSS_RATE",
+)
+
+# the ErosionSettings source fields behind TUNABLE_FIELDS (DRAG also feeds
+# the derived TERMINAL_VELOCITY; CAPACITY/POOL_PLACEMENT_MULTIPLIER are
+# mode-gated in as_parameters, host-side, before tracing)
+_SETTINGS_TUNABLE_FIELDS = (
+    "INERTIA", "GRAVITY", "DRAG", "FRICTION", "EVAP", "EROSION",
+    "DEPOSITION", "FLOW_HEIGHT_CONTRIBUTION", "SLOW_CULL_ANGLE",
+    "SLOW_CULL_SPEED", "CAPACITY", "SURFACE_EVAPORATION_RATE",
+    "POOL_PLACEMENT_MULTIPLIER", "TRACK_PLACEMENT_MULTIPLIER",
+    "FLOW_LOSS_RATE",
+)
+
+
 @dataclass(frozen=True)
 class ErosionParameters:
-    """Static (trace-time) particle-sim parameters.
+    """Particle-sim parameters (trace-time constants by default; the
+    TUNABLE_FIELDS subset may be overridden with traced scalars — see
+    sim.erosion_cycle's ``tuned`` argument).
 
     Defaults follow ErosionParameters.Default()
     (LiveErosionDataTypes.cs:101-127).
@@ -132,3 +161,18 @@ class ErosionSettings:
             EXACT_PILES=self.EXACT_PILES,
             VEGETATION_FRICTION=self.VEGETATION_FRICTION,
         )
+
+    def tunable_values(self) -> dict:
+        """The mode-gated tunable floats as a plain dict — the traced side
+        of the static/traced split (pass as ``erosion_cycle(..., tuned=)``)."""
+        p = self.as_parameters()
+        return {k: float(getattr(p, k)) for k in TUNABLE_FIELDS}
+
+    def canonical(self) -> "ErosionSettings":
+        """This settings object with every tunable float reset to its class
+        default — the trace key.  Two settings differing only in tunables
+        canonicalize equal, so live slider tweaks reuse the compiled cycle
+        instead of recompiling (minutes through a TPU tunnel)."""
+        return replace(self, **{
+            f: getattr(type(self), f) for f in _SETTINGS_TUNABLE_FIELDS
+        })

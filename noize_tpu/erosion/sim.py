@@ -115,10 +115,23 @@ def _spawn_with_drains(key, n, res, drain_water):
     jax.jit,
     static_argnames=("settings", "meta"),
 )
-def erosion_cycle(state: SimState, settings: ErosionSettings, meta: TileSetMeta):
+def erosion_cycle(state: SimState, settings: ErosionSettings, meta: TileSetMeta,
+                  tuned: Optional[dict] = None):
     """One full cycle of TriggerQueuedBeyerMT's inner loop
-    (LiveErosion.cs:383-415)."""
+    (LiveErosion.cs:383-415).
+
+    ``tuned``: optional dict of TUNABLE_FIELDS values passed as TRACED
+    scalars (see params.py).  Callers who tune erosion live should pass
+    ``settings.canonical()`` as the static settings and
+    ``settings.tunable_values()`` here — slider tweaks then reuse the
+    compiled cycle (ErosionSim does this).  With ``tuned=None`` every
+    value is a trace-time constant (bit-identical compiled graph to the
+    pre-split behavior)."""
     params = settings.as_parameters()
+    if tuned is not None:
+        params = replace(params, **{
+            k: jnp.float32(v) for k, v in tuned.items()
+        })
     res = meta.generator_res
     height_scale = float(meta.height)
     patch_res = meta.patch_res
@@ -266,8 +279,16 @@ class ErosionSim:
     def _run_cycle(self):
         """Advance one erosion cycle — the single point subclasses (the
         spatially-sharded sim) swap for their cycle kernel; every driver
-        method (step/trigger/update) routes through here."""
-        self.state = erosion_cycle(self.state, self.settings, self.meta)
+        method (step/trigger/update) routes through here.
+
+        The static/traced split: the compiled cycle is keyed on
+        ``settings.canonical()`` (structure only) while the tunable floats
+        ride in as traced scalars — live-retuning ErosionSettings between
+        steps (the reference's inspector-slider workflow,
+        LiveErosion.cs:203-236) reuses the compiled graph."""
+        self.state = erosion_cycle(
+            self.state, self.settings.canonical(), self.meta,
+            tuned=self.settings.tunable_values())
         self.cycle_count += 1
 
     def step(self, cycles: Optional[int] = None):

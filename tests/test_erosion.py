@@ -498,6 +498,43 @@ class TestErosionCycle:
         assert p.POOL_PLACEMENT_MULTIPLIER == 0.0
         assert p.TERMINAL_VELOCITY == 1.0 / es.DRAG
 
+    def test_tuned_params_match_static_and_skip_recompile(self):
+        """The static/traced parameter split (params.TUNABLE_FIELDS):
+        1. passing the tunables as traced scalars reproduces the static
+           graph's results (same f32 ops; 1-ulp reassociation tolerated),
+        2. live-tweaking any tunable float reuses the compiled cycle —
+           the LiveErosion slider workflow must not recompile."""
+        res = 48
+        h = jnp.asarray(hill(res, 0.6)
+                        + RNG.uniform(0, 0.05, (res, res)).astype(np.float32))
+        meta = TileSetMeta(tile_res=res, tile_size=res, generator_res=res,
+                           height=1000, margin=0)
+        es = ErosionSettings(PARTICLES_PER_CYCLE=128, MAXAGE=16, CYCLES=1,
+                             WATER_STEPS=4, PILING_RADIUS=4)
+        st = erosion_cycle(init_state(h), es, meta)
+        tu = erosion_cycle(init_state(h), es.canonical(), meta,
+                           tuned=es.tunable_values())
+        for name in ("height", "pool", "flow", "track"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(st.world, name)),
+                np.asarray(getattr(tu.world, name)),
+                rtol=1e-6, atol=1e-9, err_msg=name)
+
+        # sweeping tunables: same trace key, zero new compilations
+        before = erosion_cycle._cache_size()
+        for erosion, gravity in ((0.33, 1.7), (0.9, 0.4)):
+            es2 = ErosionSettings(
+                PARTICLES_PER_CYCLE=128, MAXAGE=16, CYCLES=1, WATER_STEPS=4,
+                PILING_RADIUS=4, EROSION=erosion, GRAVITY=gravity,
+                EVAP=0.02, DEPOSITION=0.2)
+            out = erosion_cycle(init_state(h), es2.canonical(), meta,
+                                tuned=es2.tunable_values())
+            assert np.all(np.isfinite(np.asarray(out.world.height)))
+        assert erosion_cycle._cache_size() == before
+        # ...and the tweaked values actually take effect
+        assert not np.array_equal(np.asarray(out.world.height),
+                                  np.asarray(tu.world.height))
+
     def test_sim_driver_reset_and_save(self, tmp_path):
         from noize_tpu.core.store import PipelineStateManager
 
