@@ -153,6 +153,11 @@ def main(argv=None):
                            " image readable by PIL if installed) instead of"
                            " generating one; values are min-max normalized"
                            " to [0, 1]")
+    erop.add_argument("--heightmap16", action="store_true",
+                      help="also export the eroded height as 16-bit"
+                           " heightmaps: eroded_height.png16.png and"
+                           " eroded_height.raw (Unity terrain RAW16,"
+                           " little-endian, bottom row first)")
 
     args = ap.parse_args(argv)
 
@@ -200,6 +205,12 @@ def main(argv=None):
         ):
             viz.to_png(os.path.join(args.outdir, f"{name}.png"), np.asarray(m))
         print(f"wrote eroded_height/pool/stream PNGs -> {args.outdir}")
+        if args.heightmap16:
+            h16 = np.asarray(sim.height_map)
+            viz.to_png16(
+                os.path.join(args.outdir, "eroded_height.png16.png"), h16)
+            viz.to_raw16(os.path.join(args.outdir, "eroded_height.raw"), h16)
+            print(f"wrote 16-bit heightmaps (.png16.png / .raw) -> {args.outdir}")
         if args.mesh:
             from ..ops.mesh import heightmap_mesh_overshoot
             from . import mesh_export as ME

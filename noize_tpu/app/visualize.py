@@ -102,6 +102,61 @@ def to_png(path: str, array, scale: Optional[float] = None):
     return path
 
 
+def _normalize01(a, scale: Optional[float]):
+    if scale is None:
+        lo, hi = float(a.min()), float(a.max())
+        return (a - lo) / (hi - lo) if hi > lo else a * 0
+    return np.clip(a * scale, 0.0, 1.0)
+
+
+def to_png16(path: str, array, scale: Optional[float] = None):
+    """16-bit grayscale PNG heightmap export — the precision game-engine
+    terrain importers expect (8-bit quantization shows visible terracing
+    on a 1000 m height range; 16-bit is ~1.5 cm steps).
+
+    ``scale=None`` min-max normalizes; otherwise values are ``a*scale``
+    clipped to [0, 1].  Pure-python writer, PNG samples big-endian."""
+    import struct
+    import zlib
+
+    a = np.asarray(array, np.float64)
+    if a.ndim != 2:
+        raise ValueError(f"to_png16 writes 2-D heightmaps, got {a.shape}")
+    img = (_normalize01(a, scale) * 65535.0 + 0.5).astype(np.uint16)
+    be = img.astype(">u2")
+    raw = b"".join(b"\x00" + be[i].tobytes() for i in range(be.shape[0]))
+    h, w = img.shape
+
+    def chunk(tag, data):
+        out = struct.pack(">I", len(data)) + tag + data
+        return out + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    hdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    with open(path, "wb") as fh:
+        fh.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", hdr)
+                 + chunk(b"IDAT", zlib.compress(raw, 6))
+                 + chunk(b"IEND", b""))
+    return path
+
+
+def to_raw16(path: str, array, scale: Optional[float] = None,
+             flip_vertical: bool = True):
+    """Unity-style RAW16 heightmap export: bare uint16 samples,
+    little-endian ("Byte order: Windows" in Unity's terrain import
+    dialog).  Unity reads the FIRST row as the BOTTOM of the terrain, so
+    rows are flipped by default — import with resolution = array side,
+    depth 16 bit.  ``scale`` as in ``to_png16``."""
+    a = np.asarray(array, np.float64)
+    if a.ndim != 2 or a.shape[0] != a.shape[1]:
+        raise ValueError(f"to_raw16 writes square 2-D heightmaps, got {a.shape}")
+    img = (_normalize01(a, scale) * 65535.0 + 0.5).astype("<u2")
+    if flip_vertical:
+        img = img[::-1]
+    with open(path, "wb") as fh:
+        fh.write(img.tobytes())
+    return path
+
+
 def render_pipeline(pipeline, resolution: int, xpos: int = 0, zpos: int = 0,
                     uuid: str = "viz"):
     """VisualizePipelineWindow.RunPipeline analog: run any pipeline at a

@@ -145,6 +145,51 @@ class TestVisualize:
             Pipeline([S.NoiseStage(octaves=2)]), 16, xpos=10, zpos=20)
         assert np.asarray(out).shape == (16, 16)
 
+    @staticmethod
+    def _decode_png16(path):
+        """Minimal decoder for our own 16-bit grayscale writer (filter 0
+        per row, one IDAT) — keeps the test free of imaging deps."""
+        import struct
+        import zlib
+
+        with open(path, "rb") as fh:
+            data = fh.read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, depth, ctype = struct.unpack(">IIBB", data[16:26])
+        assert (depth, ctype) == (16, 0)
+        i, idat = 8, b""
+        while i < len(data):
+            (n,) = struct.unpack(">I", data[i:i + 4])
+            tag = data[i + 4:i + 8]
+            if tag == b"IDAT":
+                idat += data[i + 8:i + 8 + n]
+            i += 12 + n
+        raw = zlib.decompress(idat)
+        rows = []
+        stride = 1 + 2 * w
+        for r in range(h):
+            row = raw[r * stride:(r + 1) * stride]
+            assert row[0] == 0  # filter byte
+            rows.append(np.frombuffer(row[1:], dtype=">u2"))
+        return np.stack(rows)
+
+    def test_png16_roundtrip(self, tmp_path):
+        a = RNG.uniform(0, 1000.0, (16, 16)).astype(np.float32)
+        p = V.to_png16(str(tmp_path / "h.png"), a)
+        img = self._decode_png16(p)
+        # min-max normalized to the full uint16 range, exact quantization
+        want = ((a - a.min()) / (a.max() - a.min()) * 65535.0 + 0.5
+                ).astype(np.uint16)
+        np.testing.assert_array_equal(img.astype(np.uint16), want)
+
+    def test_raw16_unity_layout(self, tmp_path):
+        a = np.linspace(0, 1, 16, dtype=np.float32).reshape(4, 4)
+        p = V.to_raw16(str(tmp_path / "h.raw"), a, scale=1.0)
+        img = np.fromfile(p, dtype="<u2").reshape(4, 4)
+        want = (a * 65535.0 + 0.5).astype(np.uint16)[::-1]  # bottom row first
+        np.testing.assert_array_equal(img, want)
+        assert os.path.getsize(p) == 4 * 4 * 2  # bare samples, no header
+
 
 class TestCli:
     def test_demo_command(self, tmp_path):
