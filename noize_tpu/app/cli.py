@@ -87,6 +87,16 @@ def _load_heightmap(path: str) -> np.ndarray:
     elif path.endswith(".npz"):
         z = np.load(path)
         arr = z[list(z.files)[0]]
+    elif path.endswith((".raw", ".r16")):
+        # Unity terrain RAW16 (bare little-endian uint16, bottom row
+        # first — the layout to_raw16 writes); side inferred square
+        flat = np.fromfile(path, dtype="<u2")
+        side = int(np.sqrt(flat.size))
+        if side * side != flat.size:
+            raise SystemExit(
+                f"{path!r}: {flat.size} uint16 samples is not a square"
+                " heightmap")
+        arr = flat.reshape(side, side)[::-1].astype(np.float32)
     else:
         try:
             from PIL import Image

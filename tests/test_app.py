@@ -247,6 +247,25 @@ class TestCli:
         with pytest.raises(SystemExit):
             _load_heightmap(str(bad))
 
+    def test_load_heightmap_raw16_roundtrip(self, tmp_path):
+        """to_raw16 → --input loader round-trips orientation and values
+        (Unity RAW16 is bottom-row-first; both sides flip)."""
+        from noize_tpu.app.cli import _load_heightmap
+
+        rng = np.random.default_rng(4)
+        a = rng.uniform(0, 1, (16, 16)).astype(np.float32)
+        p = tmp_path / "terrain.raw"
+        V.to_raw16(str(p), a, scale=1.0)
+        got = _load_heightmap(str(p))
+        # quantized to uint16 then min-max renormalized: ±1 lsb of u16
+        np.testing.assert_allclose(got, (a - a.min()) / (a.max() - a.min()),
+                                    atol=2.0 / 65535)
+
+        trunc = tmp_path / "bad.raw"
+        trunc.write_bytes(b"\x00" * 10)  # 5 samples, not square
+        with pytest.raises(SystemExit):
+            _load_heightmap(str(trunc))
+
 
 class TestDrawers:
     def test_stream_drawer(self, tmp_path):
