@@ -551,6 +551,43 @@ def main():
         return entry
     _safe(results, "interactive_cycle_1024", _ci)
 
+    # --- live-retune latency: a param tweak between steps must reuse the
+    # compiled cycle (erosion/params.py TUNABLE_FIELDS split) — through the
+    # tunnel a recompile costs MINUTES, so wall-clock is the honest probe
+    def _cr():
+        from dataclasses import replace as _dc_replace
+
+        ri = 256 if fast else 1024
+        meta_i = TileSetMeta(
+            tile_res=ri - 2 * margin, tile_size=ri - 2 * margin,
+            generator_res=ri, height=1000, margin=margin)
+        hi_ = jax.block_until_ready(jax.jit(
+            lambda: fractal(ri, 9, 0, noise_type="Simplex", octaves=13,
+                            hurst=0.4, noise_size=1700.0))())
+        st0 = init_state(hi_, jax.random.PRNGKey(5))
+
+        def step_with(settings):
+            s = erosion_cycle(st0, settings.canonical(), meta_i,
+                              tuned=settings.tunable_values())
+            return float((s.world.height.sum() + s.world.pool.sum()))
+
+        step_with(es_b)  # compile once
+        cache0 = erosion_cycle._cache_size()
+        walls = []
+        for i, tweak in enumerate(({"EROSION": 0.37}, {"GRAVITY": 1.31},
+                                   {"EVAP": 0.021})):
+            t0 = time.perf_counter()
+            step_with(_dc_replace(es_b, **tweak))
+            walls.append(round((time.perf_counter() - t0) * 1e3, 1))
+        return {
+            "retuned_step_wall_ms": walls,
+            "recompiles": erosion_cycle._cache_size() - cache0,
+            "resolution": ri,
+            "note": "wall includes one dispatch RTT; a recompile through "
+                    "the tunnel would read as minutes",
+        }
+    _safe(results, "interactive_retune", _cr)
+
     # --- per-kernel throughput at saturating sizes (BASELINE.md Gcells/s) ---
     throughput = {}
     for rt in ([256] if fast else [2048, 4096]):
