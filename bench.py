@@ -757,7 +757,6 @@ def main():
     try:
         import tempfile
 
-        from noize_tpu.app import mesh_export as _me
         from noize_tpu import native as _nat
 
         rng_io = np.random.default_rng(3)

@@ -90,9 +90,11 @@ def _load_heightmap(path: str) -> np.ndarray:
     elif path.endswith((".raw", ".r16")):
         # Unity terrain RAW16 (bare little-endian uint16, bottom row
         # first — the layout to_raw16 writes); side inferred square
+        if os.path.getsize(path) % 2:
+            raise SystemExit(f"{path!r}: odd byte count, not uint16 samples")
         flat = np.fromfile(path, dtype="<u2")
         side = int(np.sqrt(flat.size))
-        if side * side != flat.size:
+        if flat.size == 0 or side * side != flat.size:
             raise SystemExit(
                 f"{path!r}: {flat.size} uint16 samples is not a square"
                 " heightmap")
@@ -159,8 +161,9 @@ def main(argv=None):
     erop.add_argument("--mesh", action="store_true",
                       help="also emit the eroded tile mesh as OBJ + NPZ")
     erop.add_argument("--input", metavar="HEIGHTMAP",
-                      help="erode an existing heightmap (.npy, or grayscale"
-                           " image readable by PIL if installed) instead of"
+                      help="erode an existing heightmap (.npy/.npz, Unity"
+                           " terrain .raw/.r16, or a grayscale image"
+                           " readable by PIL if installed) instead of"
                            " generating one; values are min-max normalized"
                            " to [0, 1]")
     erop.add_argument("--heightmap16", action="store_true",

@@ -59,54 +59,45 @@ def terrain_control_texture(height, stream, tile_res: int, height_scale: float,
     return tex
 
 
-def to_png(path: str, array, scale: Optional[float] = None):
-    """Grayscale (2-D float) or RGBA (3-D uint8) PNG export — the
-    array→texture path of the editor visualizer, minus the editor.
+def _normalize01(a, scale: Optional[float]):
+    if scale is None:
+        lo, hi = float(a.min()), float(a.max())
+        return (a - lo) / (hi - lo) if hi > lo else a * 0
+    return np.clip(a * scale, 0.0, 1.0)
 
-    Pure-python PNG writer (no imaging deps in the image)."""
+
+def _write_png(path: str, img: np.ndarray, bit_depth: int, color_type: int):
+    """Assemble a PNG (filter 0 per row) from a prepared sample array —
+    uint8, or big-endian uint16 for 16-bit grayscale.  Pure-python
+    writer (no imaging deps in the image)."""
     import struct
     import zlib
 
-    a = np.asarray(array)
-    if a.ndim == 2:
-        if scale is None:
-            lo, hi = float(a.min()), float(a.max())
-            scale_a = (a - lo) / (hi - lo) if hi > lo else a * 0
-        else:
-            scale_a = np.clip(a * scale, 0.0, 1.0)
-        img = (scale_a * 255).astype(np.uint8)
-        color_type = 0
-        raw = b"".join(b"\x00" + img[i].tobytes() for i in range(img.shape[0]))
-    elif a.ndim == 3 and a.shape[2] == 4:
-        img = a.astype(np.uint8)
-        color_type = 6
-        raw = b"".join(b"\x00" + img[i].tobytes() for i in range(img.shape[0]))
-    else:
-        raise ValueError(f"unsupported array shape {a.shape}")
-
+    raw = b"".join(b"\x00" + img[i].tobytes() for i in range(img.shape[0]))
     h, w = img.shape[:2]
 
     def chunk(tag, data):
         out = struct.pack(">I", len(data)) + tag + data
         return out + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
 
-    hdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    png = (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", hdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
-    )
+    hdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
     with open(path, "wb") as fh:
-        fh.write(png)
+        fh.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", hdr)
+                 + chunk(b"IDAT", zlib.compress(raw, 6))
+                 + chunk(b"IEND", b""))
     return path
 
 
-def _normalize01(a, scale: Optional[float]):
-    if scale is None:
-        lo, hi = float(a.min()), float(a.max())
-        return (a - lo) / (hi - lo) if hi > lo else a * 0
-    return np.clip(a * scale, 0.0, 1.0)
+def to_png(path: str, array, scale: Optional[float] = None):
+    """Grayscale (2-D float) or RGBA (3-D uint8) PNG export — the
+    array→texture path of the editor visualizer, minus the editor."""
+    a = np.asarray(array)
+    if a.ndim == 2:
+        img = (_normalize01(a, scale) * 255).astype(np.uint8)
+        return _write_png(path, img, 8, 0)
+    if a.ndim == 3 and a.shape[2] == 4:
+        return _write_png(path, a.astype(np.uint8), 8, 6)
+    raise ValueError(f"unsupported array shape {a.shape}")
 
 
 def to_png16(path: str, array, scale: Optional[float] = None):
@@ -115,28 +106,12 @@ def to_png16(path: str, array, scale: Optional[float] = None):
     on a 1000 m height range; 16-bit is ~1.5 cm steps).
 
     ``scale=None`` min-max normalizes; otherwise values are ``a*scale``
-    clipped to [0, 1].  Pure-python writer, PNG samples big-endian."""
-    import struct
-    import zlib
-
+    clipped to [0, 1].  PNG samples are big-endian."""
     a = np.asarray(array, np.float64)
     if a.ndim != 2:
         raise ValueError(f"to_png16 writes 2-D heightmaps, got {a.shape}")
     img = (_normalize01(a, scale) * 65535.0 + 0.5).astype(np.uint16)
-    be = img.astype(">u2")
-    raw = b"".join(b"\x00" + be[i].tobytes() for i in range(be.shape[0]))
-    h, w = img.shape
-
-    def chunk(tag, data):
-        out = struct.pack(">I", len(data)) + tag + data
-        return out + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-
-    hdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
-    with open(path, "wb") as fh:
-        fh.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", hdr)
-                 + chunk(b"IDAT", zlib.compress(raw, 6))
-                 + chunk(b"IEND", b""))
-    return path
+    return _write_png(path, img.astype(">u2"), 16, 0)
 
 
 def to_raw16(path: str, array, scale: Optional[float] = None,

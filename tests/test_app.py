@@ -178,7 +178,10 @@ class TestVisualize:
         p = V.to_png16(str(tmp_path / "h.png"), a)
         img = self._decode_png16(p)
         # min-max normalized to the full uint16 range, exact quantization
-        want = ((a - a.min()) / (a.max() - a.min()) * 65535.0 + 0.5
+        # (in float64 like the writer — f32 arithmetic differs by 1 lsb on
+        # values straddling an integer boundary)
+        a64 = a.astype(np.float64)
+        want = ((a64 - a64.min()) / (a64.max() - a64.min()) * 65535.0 + 0.5
                 ).astype(np.uint16)
         np.testing.assert_array_equal(img.astype(np.uint16), want)
 
