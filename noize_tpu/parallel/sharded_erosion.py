@@ -61,7 +61,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..erosion.params import ErosionMode, ErosionSettings
 from ..erosion.particles import Particles, descend_step, spawn
@@ -427,13 +427,30 @@ def _sharded_pool_automata(mesh: Mesh, height, pool, res: int,
 
 # --- the cycle ---------------------------------------------------------------
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "settings", "meta", "chunk"),
+)
 def sharded_erosion_cycle(mesh: Mesh, state: SimState,
                           settings: ErosionSettings, meta: TileSetMeta,
-                          chunk: int = 8) -> SimState:
+                          chunk: int = 8, tuned=None) -> SimState:
     """One full erosion cycle (erosion.sim.erosion_cycle parity) on a
     P('x','y')-sharded world.  All SimState arrays must be sharded
-    P('x','y') except ``key`` (replicated)."""
+    P('x','y') except ``key`` (replicated).
+
+    Jitted as ONE XLA program over the mesh (the eager per-op dispatch
+    path re-traced every shard_map per call — 15× slower per cycle on the
+    8-device CPU mesh and a per-op tunnel round-trip on real pods).
+
+    ``tuned``: optional dict of TUNABLE_FIELDS passed as TRACED scalars
+    (see erosion.params) — shard_map closes over the traced values as
+    replicated operands, so live-retuning sliders between cycles reuses
+    the compiled program exactly like the single-device erosion_cycle."""
     params = settings.as_parameters()
+    if tuned is not None:
+        params = replace(params, **{
+            k: jnp.float32(v) for k, v in tuned.items()
+        })
     res = meta.generator_res
     height_scale = float(meta.height)
     patch_res = meta.patch_res
@@ -489,7 +506,18 @@ def sharded_erosion_cycle(mesh: Mesh, state: SimState,
     world = replace(world, pool=pool)
     drain_water = drain_water + drains
 
-    return SimState(world=world, drain_water=drain_water, key=key)
+    # pin output shardings: under one jit, XLA's auto propagation may pick
+    # a REPLICATED layout for a map (observed: track on the 8-dev CPU
+    # mesh), which both wastes a full res² copy per device and flips the
+    # next call's input avals — retracing the whole cycle every step
+    sh = NamedSharding(mesh, P("x", "y"))
+    con = lambda a: lax.with_sharding_constraint(a, sh)
+    world = replace(world, height=con(world.height), pool=con(world.pool),
+                    flow=con(world.flow), track=con(world.track),
+                    plants=con(world.plants))
+    return SimState(
+        world=world, drain_water=con(drain_water),
+        key=lax.with_sharding_constraint(key, NamedSharding(mesh, P())))
 
 
 def sharded_tile_step(mesh: Mesh, meta: TileSetMeta,
@@ -537,6 +565,23 @@ def sharded_tile_step(mesh: Mesh, meta: TileSetMeta,
     return state, flow_v
 
 
+def make_sharded_tile_step(mesh: Mesh, meta: TileSetMeta,
+                           settings: ErosionSettings = None, **kwargs):
+    """Build the jitted sharded flagship step: (xpos, zpos, key) → outputs —
+    app.flagship.make_tile_step's sp counterpart.  The whole
+    noise→blur→flow→cycles(→mesh) chain compiles to ONE XLA program over
+    the mesh, so a production pod runs one dispatch per tile instead of
+    per-op round-trips.  ``kwargs`` pass through to sharded_tile_step."""
+    settings = settings or ErosionSettings()
+
+    @jax.jit
+    def step(xpos, zpos, key):
+        return sharded_tile_step(mesh, meta, settings, xpos, zpos, key,
+                                 **kwargs)
+
+    return step, meta, settings
+
+
 class ShardedErosionSim(_ErosionSimBase):
     """ErosionSim's host-driver surface (erosion.sim.ErosionSim) for a
     spatially-sharded world, with all maps living sharded P('x','y') on
@@ -565,13 +610,23 @@ class ShardedErosionSim(_ErosionSimBase):
         sharded = jax.device_put(jnp.asarray(height, _F32),
                                  field_sharding(mesh))
         self.original_height = sharded
-        self.state = init_state(sharded, jax.random.PRNGKey(seed))
+        # the key must start mesh-REPLICATED, matching the jitted cycle's
+        # output sharding — a single-device committed PRNGKey would make
+        # step 2 retrace the whole cycle program (one wasted multi-minute
+        # remote compile per sim on a real pod)
+        key = jax.device_put(jax.random.PRNGKey(seed),
+                             NamedSharding(mesh, P()))
+        self.state = init_state(sharded, key)
         self.cycle_count = 0
 
     def _run_cycle(self):
+        """Advance one sharded cycle — same static/traced split as the
+        single-device driver: the compiled program is keyed on
+        ``settings.canonical()`` and the tunable floats ride in traced, so
+        live slider retunes between steps never recompile."""
         self.state = sharded_erosion_cycle(
-            self.mesh, self.state, self.settings, self.meta,
-            chunk=self.chunk)
+            self.mesh, self.state, self.settings.canonical(), self.meta,
+            chunk=self.chunk, tuned=self.settings.tunable_values())
         self.cycle_count += 1
 
     def mesh_fields(self, variant: str = "overshoot",

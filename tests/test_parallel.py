@@ -398,11 +398,79 @@ class TestShardedErosionCycle:
         sim.step(1)
         assert np.isfinite(np.asarray(sim.height_map)).all()
         assert sim.cycle_count == 1
+        # steady-state steps AND live retunes reuse the compiled cycle —
+        # input shardings (incl. the replicated key) must already match
+        # the jit's output shardings after step 1
+        from dataclasses import replace as drep
+        from noize_tpu.parallel.sharded_erosion import sharded_erosion_cycle
+        before = sharded_erosion_cycle._cache_size()
+        sim.step(1)
+        sim.settings = drep(sim.settings, EROSION=0.5, GRAVITY=1.3)
+        sim.step(1)
+        assert sharded_erosion_cycle._cache_size() == before
         sim.reset_water()
         assert float(np.asarray(sim.pool_map).sum()) == 0.0
         sim.reset_land()
         np.testing.assert_array_equal(
             np.asarray(sim.height_map), h)
+
+    def test_tuned_params_match_static_and_skip_recompile(self, mesh):
+        """The static/traced parameter split on the SHARDED cycle
+        (mirrors tests/test_erosion.py's single-device version): traced
+        tunables reproduce the static graph's results, and live slider
+        retunes between cycles reuse the ONE compiled XLA program."""
+        from dataclasses import replace as drep
+        from noize_tpu.parallel.sharded_erosion import sharded_erosion_cycle
+
+        state, settings, meta = self._setup(seed=31)
+        sst = self._shard_state(mesh, state)
+        st = sharded_erosion_cycle(mesh, sst, settings, meta, chunk=4)
+        tu = sharded_erosion_cycle(mesh, sst, settings.canonical(), meta,
+                                   chunk=4, tuned=settings.tunable_values())
+        for name in ("height", "pool", "flow", "track"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(st.world, name)),
+                np.asarray(getattr(tu.world, name)),
+                rtol=1e-6, atol=1e-9, err_msg=name)
+
+        # sweeping tunables: same trace key, zero new compilations
+        before = sharded_erosion_cycle._cache_size()
+        for erosion, gravity in ((0.33, 1.7), (0.9, 0.4)):
+            es2 = drep(settings, EROSION=erosion, GRAVITY=gravity,
+                       EVAP=0.02, DEPOSITION=0.2)
+            out = sharded_erosion_cycle(mesh, sst, es2.canonical(), meta,
+                                        chunk=4, tuned=es2.tunable_values())
+            assert np.all(np.isfinite(np.asarray(out.world.height)))
+        assert sharded_erosion_cycle._cache_size() == before
+        # ...and the tweaked values actually take effect
+        assert not np.array_equal(np.asarray(out.world.height),
+                                  np.asarray(tu.world.height))
+
+    def test_make_sharded_tile_step_one_program(self, mesh):
+        """make_sharded_tile_step compiles the whole sharded flagship
+        chain (noise→blur→flow→cycle) into one jitted program whose
+        outputs match the eager composition."""
+        from noize_tpu.erosion.params import ErosionSettings
+        from noize_tpu.parallel.sharded_erosion import (
+            make_sharded_tile_step, sharded_tile_step)
+
+        res = 32
+        meta = TileSetMeta(tile_res=res, tile_size=res, generator_res=res,
+                           height=500, margin=0)
+        st = ErosionSettings(PARTICLES_PER_CYCLE=24, MAXAGE=6, WATER_STEPS=2,
+                             CYCLES=1, PILING_RADIUS=4)
+        kwargs = dict(octaves=3, blur_iterations=2, flow_iterations=2,
+                      chunk=4)
+        step, _, _ = make_sharded_tile_step(mesh, meta, st, **kwargs)
+        state, fv = step(np.float32(0.0), np.float32(0.0),
+                         jax.random.PRNGKey(0))
+        want_state, want_fv = sharded_tile_step(
+            mesh, meta, st, 0.0, 0.0, jax.random.PRNGKey(0), **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(state.world.height),
+            np.asarray(want_state.world.height), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(fv), np.asarray(want_fv),
+                                   atol=1e-5)
 
 
 class TestShardedMesh:
