@@ -816,7 +816,32 @@ def _backend_down_fallback(exc):
     print(_json.dumps(entry))
 
 
+def _probe_backend(timeout_s: float = 600.0):
+    """Probe device init in a SUBPROCESS with a hard timeout.  The axon
+    tunnel fails two ways: a fast 'Unable to initialize backend' error,
+    or a HANG at device init (observed 15+ min, this round's outage) —
+    an in-process jax.devices() would stall the driver's bench run
+    forever without ever emitting the fallback line."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return f"device init hung > {timeout_s:.0f}s (tunnel stalled)"
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+        return tail[-1] if tail else f"probe exited {proc.returncode}"
+    return None
+
+
 if __name__ == "__main__":
+    _err = _probe_backend()
+    if _err is not None:
+        _backend_down_fallback(_err)
+        raise SystemExit(1)
     try:
         import jax as _jax
 
