@@ -48,6 +48,14 @@ class NoiseStage(Stage):
     detuneRate: float = 0.0            # [-.05, .05]
     noiseSize: int = 1000              # [5, 32000]
 
+    def __post_init__(self):
+        # fail at construction like the reference's enum-typed inspector
+        # field (FractalNoise, NoiseStage.cs:38), not at first run
+        if self.noiseType not in _fractal.NOISE_TYPES:
+            raise ValueError(
+                f"unknown noiseType {self.noiseType!r}; expected one of "
+                f"{_fractal.NOISE_TYPES}")
+
     def array_fn(self, data, io: GeneratorData):
         return _fractal.fractal(
             io.resolution,
