@@ -67,6 +67,74 @@ _RANK_SCRIPT = textwrap.dedent(
 )
 
 
+_CYCLE_SCRIPT = textwrap.dedent(
+    """
+    import os, sys
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from noize_tpu.parallel import distributed as D
+
+    rank = int(sys.argv[1])
+    coord = sys.argv[2]
+    assert D.initialize(coord, num_processes=2, process_id=rank)
+    assert jax.device_count() == 4
+
+    from noize_tpu.core.tiles import TileSetMeta
+    from noize_tpu.erosion.params import ErosionSettings
+    from noize_tpu.erosion.sim import SimState, erosion_cycle, init_state
+    from noize_tpu.erosion.world import WorldState
+    from noize_tpu.parallel import device_mesh as DM
+    from noize_tpu.parallel.sharded_erosion import sharded_erosion_cycle
+
+    res = 32
+    rng = np.random.default_rng(6)
+    h = rng.uniform(0.2, 0.8, (res, res)).astype(np.float32)
+    settings = ErosionSettings(PARTICLES_PER_CYCLE=48, MAXAGE=12,
+                               WATER_STEPS=3, CYCLES=1, PILING_RADIUS=4)
+    meta = TileSetMeta(tile_res=res, tile_size=res, generator_res=res,
+                       height=500, margin=0)
+
+    # single-device reference, computed process-locally on every rank
+    want = erosion_cycle(
+        init_state(jnp.asarray(h), jax.random.PRNGKey(9)), settings, meta)
+
+    # ONE global field sharded over a 2x2 mesh whose x axis spans the
+    # process boundary: descent chunk halo exchange, event halo folds, the
+    # particle psum merge, and the exact global drain top-K all cross it
+    mesh = DM.spatial_mesh()
+    sh = DM.field_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    mk = lambda a: jax.make_array_from_callback(
+        a.shape, sh, lambda idx: a[idx])
+    z = np.zeros((res, res), np.float32)
+    key = np.asarray(jax.random.PRNGKey(9))
+    state = SimState(
+        world=WorldState(height=mk(h), pool=mk(z), flow=mk(z),
+                         track=mk(z), plants=mk(z)),
+        drain_water=mk(z),
+        key=jax.make_array_from_callback(key.shape, rep,
+                                         lambda idx: key[idx]),
+    )
+    got = sharded_erosion_cycle(mesh, state, settings, meta, chunk=4)
+
+    # every locally-addressable shard must match the single-device result
+    for name in ("height", "pool", "flow", "track"):
+        g = getattr(got.world, name)
+        w = np.asarray(getattr(want.world, name))
+        assert g.addressable_shards, name
+        for s in g.addressable_shards:
+            np.testing.assert_allclose(
+                np.asarray(s.data), w[s.index], atol=2e-6,
+                err_msg=f"rank {rank} {name}")
+    gk = np.asarray(got.key.addressable_shards[0].data)
+    assert np.array_equal(gk, np.asarray(want.key)), "key stream diverged"
+    print(f"RANK{rank}_CYCLE_OK", flush=True)
+    """
+)
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -75,9 +143,9 @@ def _free_port():
     return port
 
 
-def test_two_process_psum_and_tiles(tmp_path):
+def _run_two_ranks(tmp_path, script_body, ok_token, timeout=240):
     script = tmp_path / "rank.py"
-    script.write_text(_RANK_SCRIPT)
+    script.write_text(script_body)
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(
         os.environ,
@@ -97,7 +165,7 @@ def test_two_process_psum_and_tiles(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -105,4 +173,19 @@ def test_two_process_psum_and_tiles(tmp_path):
                 p.kill()
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
-        assert f"RANK{rank}_OK" in out
+        assert ok_token.format(rank=rank) in out
+
+
+def test_two_process_psum_and_tiles(tmp_path):
+    _run_two_ranks(tmp_path, _RANK_SCRIPT, "RANK{rank}_OK")
+
+
+def test_two_process_sharded_erosion_cycle(tmp_path):
+    """The FULL sharded erosion cycle on one field spanning a real process
+    boundary (TPU pods keep ICI across hosts within a slice — one world
+    across hosts IS the production scale-out): chunked descent halos, the
+    masked particle psum merge, event halo folds, and the exact global
+    drain top-K all cross the boundary and must reproduce the
+    single-device cycle within the documented D8 tolerance."""
+    _run_two_ranks(tmp_path, _CYCLE_SCRIPT, "RANK{rank}_CYCLE_OK",
+                   timeout=600)
