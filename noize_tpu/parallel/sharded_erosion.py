@@ -613,8 +613,9 @@ class ShardedErosionSim(_ErosionSimBase):
         # the key must start mesh-REPLICATED, matching the jitted cycle's
         # output sharding — a single-device committed PRNGKey would make
         # step 2 retrace the whole cycle program (one wasted multi-minute
-        # remote compile per sim on a real pod)
-        key = jax.device_put(jax.random.PRNGKey(seed),
+        # remote compile per sim on a real pod); host-source it so the
+        # device_put is legal on meshes spanning processes
+        key = jax.device_put(np.asarray(jax.random.PRNGKey(seed)),
                              NamedSharding(mesh, P()))
         self.state = init_state(sharded, key)
         self.cycle_count = 0
@@ -667,16 +668,30 @@ class ShardedErosionSim(_ErosionSimBase):
                 obj = getattr(obj, attr)
             yield alias, path, obj
 
+    def _sharded_ckpt(self):
+        from .sharded_checkpoint import ShardedCheckpoint
+
+        sm = self.state_manager
+        if sm is None or sm.serde is None:
+            raise RuntimeError("no state manager with a save path attached")
+        return ShardedCheckpoint(sm.serde.root)
+
     def save_erosion_state(self):
         """Checkpoint the full sim state through the state store + serde.
 
-        The store's serializer materializes to host, which gathers the
-        sharded arrays (single-process mesh: every shard is addressable;
-        multi-host pods would use per-shard manifests via
-        jax.experimental.multihost_utils — not exercised on this rig)."""
+        Single-process, the store's serializer materializes to host (every
+        shard addressable).  Multi-host, each process writes only ITS
+        addressable blocks as per-shard files next to the store's save
+        root (parallel.sharded_checkpoint) — no cross-host gather."""
         if self.state_manager is None:
             raise RuntimeError("no state manager attached")
         self.original_height = self.state.world.height
+        if jax.process_count() > 1:
+            ckpt = self._sharded_ckpt()
+            for alias, _, arr in self._state_arrays():
+                ckpt.save(self._buffer_name(alias), arr)
+            ckpt.flush()
+            return
         sm = self.state_manager
         for alias, _, arr in self._state_arrays():
             name = self._buffer_name(alias)
@@ -697,12 +712,20 @@ class ShardedErosionSim(_ErosionSimBase):
             raise RuntimeError("no state manager attached")
         sm = self.state_manager
         sh = field_sharding(self.mesh)
-        maps = {
-            alias: jax.device_put(
-                jnp.asarray(sm.get_buffer(self._buffer_name(alias)), _F32),
-                sh)
-            for alias, _ in self._SAVE_ALIASES
-        }
+        if jax.process_count() > 1:
+            ckpt = self._sharded_ckpt()
+            maps = {alias: ckpt.load(self._buffer_name(alias), sh)
+                    for alias, _ in self._SAVE_ALIASES}
+            missing = [a for a, v in maps.items() if v is None]
+            if missing:
+                raise IOError(f"sharded checkpoint missing maps: {missing}")
+        else:
+            maps = {
+                alias: jax.device_put(
+                    jnp.asarray(sm.get_buffer(self._buffer_name(alias)),
+                                _F32), sh)
+                for alias, _ in self._SAVE_ALIASES
+            }
         self.original_height = maps["TERRAIN_HEIGHT"]
         self.state = init_state(self.original_height, self.state.key)
         self.state = replace(

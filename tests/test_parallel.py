@@ -473,6 +473,51 @@ class TestShardedErosionCycle:
                                    atol=1e-5)
 
 
+class TestShardedCheckpoint:
+    def test_roundtrip_layout_and_replicated(self, mesh, tmp_path):
+        """Per-shard checkpoint format: one .data file per distinct global
+        block, bit-exact round-trip for both P('x','y') fields and
+        replicated arrays (parallel.sharded_checkpoint)."""
+        import os
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from noize_tpu.parallel.sharded_checkpoint import ShardedCheckpoint
+
+        a = RNG.uniform(0, 1, (32, 32)).astype(np.float32)
+        sh = DM.field_sharding(mesh)
+        arr = jax.device_put(jnp.asarray(a), sh)
+        ck = ShardedCheckpoint(str(tmp_path))
+        ck.save("0_0__32__TERRAIN_HEIGHT", arr)
+        ck.flush()
+        assert ck.exists("0_0__32__TERRAIN_HEIGHT")
+        back = ck.load("0_0__32__TERRAIN_HEIGHT", sh)
+        np.testing.assert_array_equal(np.asarray(back), a)
+        assert back.sharding.is_equivalent_to(sh, 2)
+        datadir = os.path.join(str(tmp_path), "save__proc0_0", "data")
+        files = [f for f in os.listdir(datadir) if f.endswith(".data")]
+        assert len(files) == 8  # one block per device on the 8-dev mesh
+
+        rep = NamedSharding(mesh, P())
+        k = jax.device_put(np.arange(4, dtype=np.uint32), rep)
+        ck.save("key", k)
+        kb = ck.load("key", rep)
+        np.testing.assert_array_equal(
+            np.asarray(kb), np.arange(4, dtype=np.uint32))
+        # replicated array = ONE distinct block on disk
+        kfiles = [f for f in os.listdir(datadir) if f.startswith("key")]
+        assert len(kfiles) == 1
+
+    def test_topology_mismatch_raises(self, mesh, tmp_path):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from noize_tpu.parallel.sharded_checkpoint import ShardedCheckpoint
+
+        a = RNG.uniform(0, 1, (32, 32)).astype(np.float32)
+        ck = ShardedCheckpoint(str(tmp_path))
+        ck.save("m", jax.device_put(jnp.asarray(a), DM.field_sharding(mesh)))
+        row_sh = NamedSharding(mesh, P(("x", "y"), None))  # different blocks
+        with pytest.raises(IOError, match="topology"):
+            ck.load("m", row_sh)
+
+
 class TestShardedMesh:
     @pytest.mark.parametrize("margin", [0, 8])
     @pytest.mark.parametrize("variant", ["overshoot", "square"])
