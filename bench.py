@@ -456,7 +456,12 @@ def main():
         m = MH.heightmap_mesh_overshoot(
             hb + _eps(k), meta_b.tile_res, rb, 1000.0,
             float(meta_b.tile_size))
-        return m.positions.sum()
+        # consume EVERY stream — a positions-only scalar lets XLA DCE the
+        # finite-difference normals/tangents work (the expensive part,
+        # reference Mesh/Generators/SquareGridHeightMap.cs:66-81) and
+        # rigs the arrays-vs-planes A/B (VERDICT r3 weak #3)
+        return (m.positions.sum() + m.normals.sum() + m.tangents.sum()
+                + m.uvs.sum())
 
     _phase("mesh", mesh_body)
 
@@ -573,19 +578,36 @@ def main():
 
         step_with(es_b)  # compile once
         cache0 = erosion_cycle._cache_size()
-        walls = []
-        for i, tweak in enumerate(({"EROSION": 0.37}, {"GRAVITY": 1.31},
-                                   {"EVAP": 0.021})):
-            t0 = time.perf_counter()
+        for tweak in ({"EROSION": 0.37}, {"GRAVITY": 1.31},
+                      {"EVAP": 0.021}):
             step_with(_dc_replace(es_b, **tweak))
-            walls.append(round((time.perf_counter() - t0) * 1e3, 1))
-        return {
-            "retuned_step_wall_ms": walls,
-            "recompiles": erosion_cycle._cache_size() - cache0,
+        recompiles = erosion_cycle._cache_size() - cache0
+
+        # Latency via the standard chained-scalar method (VERDICT r3
+        # weak #4): every scan step derives FRESH tunable values from its
+        # key — the slider-tweak workload — through the same compiled fn
+        # the host-side recompile check exercised above.
+        canon = es_b.canonical()
+        base = es_b.tunable_values()
+
+        def body(k):
+            tuned = dict(base)
+            tuned["EROSION"] = base["EROSION"] * (
+                0.9 + 0.2 * jax.random.uniform(k, ()))
+            tuned["GRAVITY"] = base["GRAVITY"] * (
+                0.9 + 0.2 * jax.random.uniform(jax.random.fold_in(k, 1), ()))
+            s = erosion_cycle(st0, canon, meta_i, tuned=tuned)
+            return s.world.height.sum() + s.world.pool.sum()
+
+        ms, floor = _time_chained(body, reps=8, with_floor=True)
+        entry = {
+            "ms_per_retuned_step": round(ms, 3),
+            "method": "chained",
+            "recompiles": recompiles,
             "resolution": ri,
-            "note": "wall includes one dispatch RTT; a recompile through "
-                    "the tunnel would read as minutes",
         }
+        entry.update(floor)
+        return entry
     _safe(results, "interactive_retune", _cr)
 
     # --- per-kernel throughput at saturating sizes (BASELINE.md Gcells/s) ---
@@ -717,8 +739,12 @@ def main():
                 s = out["height"].sum() + out["stream"].sum()
                 if "mesh" in out:
                     m = out["mesh"]
-                    s = s + (m.planes.sum() if flag_layout == "planes"
-                             else m.positions.sum())
+                    if flag_layout == "planes":
+                        s = s + m.planes.sum()
+                    else:
+                        # all four streams: see mesh_body DCE note
+                        s = s + (m.positions.sum() + m.normals.sum()
+                                 + m.tangents.sum() + m.uvs.sum())
                 return carry + s, None
             total, _ = jax.lax.scan(body, jnp.float32(0.0),
                                     jax.random.split(key, K))

@@ -102,8 +102,13 @@ def main():
                                        minval=0, maxval=1000.0), k)
                 s = out["height"].sum() + out["stream"].sum()
                 m = out["mesh"]
-                s = s + (m.planes.sum() if layout == "planes"
-                         else m.positions.sum())
+                if layout == "planes":
+                    s = s + m.planes.sum()
+                else:
+                    # consume EVERY stream — positions-only lets XLA DCE
+                    # the normals/tangents/uvs work (VERDICT r3 weak #3)
+                    s = s + (m.positions.sum() + m.normals.sum()
+                             + m.tangents.sum() + m.uvs.sum())
                 return carry + s, None
             total, _ = jax.lax.scan(body, jnp.float32(0.0),
                                     jax.random.split(key, K))

@@ -473,7 +473,7 @@ class TestShardedErosionCycle:
                                    atol=1e-5)
 
 
-class TestShardedCheckpoint:
+class TestShardedCheckpointFormat:
     def test_roundtrip_layout_and_replicated(self, mesh, tmp_path):
         """Per-shard checkpoint format: one .data file per distinct global
         block, bit-exact round-trip for both P('x','y') fields and
