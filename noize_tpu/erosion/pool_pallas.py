@@ -321,43 +321,108 @@ def _fused_quad_call(h_pads, p_pads, d_pads, phase_seq, drain_particles: bool,
     return outs[:4], outs[4:]
 
 
-def _fused_pair_call(h_e_pad, h_o_pad, p_e_pad, p_o_pad, d_e_pad, d_o_pad,
+def _fused_pair_call(h_e_pad, h_o_pad, p_e, p_o, d_e, d_o,
                      phase_seq, drain_particles: bool, res: int,
                      block: int, halo: int, unroll: bool):
     """One launch: run ``phase_seq`` phases on the half-row pair lattices
     with the whole chain VMEM-resident per row block — the pair kernel's
     proven compute profile with the per-phase DMA paid once per launch.
 
-    Inputs are (res/2, res) lattices pre-padded by ``halo`` rows (edge
-    mode); validity shrinks 2 lattice rows per phase per side, so ``halo``
-    ≥ 2·len(phase_seq).  Drain accumulators ride through the kernel to
-    keep the XLA path's exact f32 add order.  All six input DMAs are
-    started before any wait (overlapped transfers).
+    HEIGHTS are (res/2 + 2·halo, res), edge-padded once per CALL (they
+    never change).  The scan carries — pools and drain accumulators —
+    are UNPADDED (res/2, res): the pad was pure DMA geometry (every
+    border semantic keys on global lattice coords via ``row0``, and
+    out-of-grid window rows are coordinate-masked ghosts), yet re-padding
+    4 carries per launch cost ~100 MB of XLA copy glue per ×10 call
+    (round-4 reconciliation probe: the "6.28 ms" sweep reading was a
+    measurement artifact; the kernel was really ~7.4 ms with ~1.2 ms of
+    that in pad copies).  Carry windows instead clamp their DMA at the
+    grid edges and ZERO the ghost rows (values unused; zeroing keeps
+    any masked-multiply arithmetic NaN-free).  Validity shrinks 2
+    lattice rows per phase per side, so ``halo`` ≥ 2·len(phase_seq);
+    DMA alignment wants ``halo`` a multiple of 8.  Drain accumulators
+    ride through the kernel to keep the XLA path's exact f32 add order.
 
     Note (round 3, measured): carrying PADDED buffers through the scan
     with manual core-row output DMAs removes the per-launch XLA edge-pad
     copies but LOSES overall (8.0 vs 5.2 ms per ×10 call) — BlockSpec
     VMEM outputs pipeline the write-back with the next block's compute,
-    and a trailing in-kernel DMA wait serializes it; keep the pads."""
+    and a trailing in-kernel DMA wait serializes it — hence the clamped
+    unpadded-carry form instead."""
     r2 = res // 2
     nblk = r2 // block
     w = block + 2 * halo
     phase0 = _pool._PHASE_ORDER.index(phase_seq[0])
 
     def kernel(*refs):
-        ins = refs[:6]
+        h_ins = refs[:2]
+        c_ins = refs[2:6]
         outs = refs[6:10]
         scratch = refs[10:16]
         sems = refs[16:22]
         i = pl.program_id(0)
 
-        copies = [
+        # heights: padded inputs, uniform window (started first, waited
+        # last — overlaps with the carry branches below)
+        hcopies = [
             pltpu.make_async_copy(src.at[pl.ds(i * block, w), :], dst, sem)
-            for src, dst, sem in zip(ins, scratch, sems)
+            for src, dst, sem in zip(h_ins, scratch[:2], sems[:2])
         ]
-        for cp in copies:
+        for cp in hcopies:
             cp.start()
-        for cp in copies:
+
+        # carries: unpadded inputs, clamped window + zeroed ghost rows.
+        # Branch geometry is static per case (DMA lengths must be static);
+        # impossible cases are pruned at trace time.
+        carry_trips = list(zip(c_ins, scratch[2:6], sems[2:6]))
+        zrows = jnp.zeros((halo, res), _F32)
+
+        def run_copies(cps, zero_lo: bool, zero_hi: int):
+            for _, dst, _ in carry_trips:
+                if zero_lo:
+                    dst[0:halo, :] = zrows
+                if zero_hi:
+                    dst[w - zero_hi:w, :] = jnp.zeros((zero_hi, res), _F32)
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+
+        def first_geo():
+            run_copies([
+                pltpu.make_async_copy(
+                    src.at[pl.ds(0, block + halo), :],
+                    dst.at[pl.ds(halo, block + halo), :], sem)
+                for src, dst, sem in carry_trips
+            ], zero_lo=True, zero_hi=0)
+
+        def last_geo():
+            run_copies([
+                pltpu.make_async_copy(
+                    src.at[pl.ds(i * block - halo, block + halo), :],
+                    dst.at[pl.ds(0, block + halo), :], sem)
+                for src, dst, sem in carry_trips
+            ], zero_lo=False, zero_hi=halo)
+
+        def mid_geo():
+            run_copies([
+                pltpu.make_async_copy(
+                    src.at[pl.ds(i * block - halo, w), :], dst, sem)
+                for src, dst, sem in carry_trips
+            ], zero_lo=False, zero_hi=0)
+
+        if nblk == 1:
+            run_copies([
+                pltpu.make_async_copy(src, dst.at[pl.ds(halo, r2), :], sem)
+                for src, dst, sem in carry_trips
+            ], zero_lo=True, zero_hi=halo)
+        else:
+            pl.when(i == 0)(first_geo)
+            pl.when(i == nblk - 1)(last_geo)
+            if nblk > 2:
+                pl.when((i > 0) & (i < nblk - 1))(mid_geo)
+
+        for cp in hcopies:
             cp.wait()
 
         row0 = i * block - halo
@@ -420,7 +485,7 @@ def _fused_pair_call(h_e_pad, h_o_pad, p_e_pad, p_o_pad, d_e_pad, d_o_pad,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(h_e_pad, h_o_pad, p_e_pad, p_o_pad, d_e_pad, d_o_pad)
+    )(h_e_pad, h_o_pad, p_e, p_o, d_e, d_o)
     return outs
 
 
@@ -441,7 +506,9 @@ def pool_automata_pallas_pair_fused(height, pool, iterations: int = 10,
     res = height.shape[0]
     ppl = phases_per_launch
     assert (4 * iterations) % ppl == 0, (ppl, iterations)
-    halo = max(-(-2 * ppl // 4) * 4, 4)
+    # multiple of 8: the clamped carry DMAs offset by ``halo`` rows, and
+    # TPU DMA windows want 8-row alignment (CLAUDE.md)
+    halo = max(-(-2 * ppl // 8) * 8, 8)
     r2 = res // 2
     if block is None:
         from ..ops.pallas.blocks import pick_block
@@ -467,10 +534,12 @@ def pool_automata_pallas_pair_fused(height, pool, iterations: int = 10,
 
         def make_launch(seq):
             def run(c):
+                # carries go in UNPADDED — the kernel clamps its own DMA
+                # windows (see _fused_pair_call); only the call-constant
+                # heights carry the once-per-call edge pad
                 p_e, p_o, d_e, d_o = c
                 return tuple(_fused_pair_call(
-                    hpe, hpo, _padH(p_e, halo), _padH(p_o, halo),
-                    _padH(d_e, halo), _padH(d_o, halo),
+                    hpe, hpo, p_e, p_o, d_e, d_o,
                     seq, drain_particles, res, block, halo, unroll,
                 ))
             return run
