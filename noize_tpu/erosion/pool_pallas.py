@@ -388,6 +388,11 @@ def _fused_pair_call(h_e_pad, h_o_pad, p_e, p_o, d_e, d_o,
             for cp in cps:
                 cp.wait()
 
+        # Mosaic's divisibility prover accepts ``x * 8`` but not
+        # ``i*block - halo`` (it loses the proof across the subtraction):
+        # compute dynamic window starts in 8-row units, multiply last.
+        lo8 = (i * (block // 8) - halo // 8) * 8
+
         def first_geo():
             run_copies([
                 pltpu.make_async_copy(
@@ -399,7 +404,7 @@ def _fused_pair_call(h_e_pad, h_o_pad, p_e, p_o, d_e, d_o,
         def last_geo():
             run_copies([
                 pltpu.make_async_copy(
-                    src.at[pl.ds(i * block - halo, block + halo), :],
+                    src.at[pl.ds(lo8, block + halo), :],
                     dst.at[pl.ds(0, block + halo), :], sem)
                 for src, dst, sem in carry_trips
             ], zero_lo=False, zero_hi=halo)
@@ -407,7 +412,7 @@ def _fused_pair_call(h_e_pad, h_o_pad, p_e, p_o, d_e, d_o,
         def mid_geo():
             run_copies([
                 pltpu.make_async_copy(
-                    src.at[pl.ds(i * block - halo, w), :], dst, sem)
+                    src.at[pl.ds(lo8, w), :], dst, sem)
                 for src, dst, sem in carry_trips
             ], zero_lo=False, zero_hi=0)
 
@@ -514,6 +519,9 @@ def pool_automata_pallas_pair_fused(height, pool, iterations: int = 10,
         from ..ops.pallas.blocks import pick_block
 
         block = pick_block(r2, halo, cols=res)
+    # the kernel's 8-row-unit window-start arithmetic (Mosaic divisibility
+    # proof) needs both 8-aligned
+    assert block % 8 == 0 and halo % 8 == 0, (block, halo)
     full_seq = tuple(_pool._PHASE_ORDER) * iterations
     n_launches = (4 * iterations) // ppl
     seqs = []

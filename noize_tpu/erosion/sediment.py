@@ -161,33 +161,36 @@ def _pile_tables(radius: int):
                 visit_round.append(rnd)
     onehot = np.zeros((len(visit_slot), s), np.float32)
     onehot[np.arange(len(visit_slot)), visit_slot] = 1.0
+    # dup_higher[k, k'] — slot k' targets the same offset cell as k with a
+    # higher occurrence rank; a commit from k is overridden by one from k'
+    # (the rank-pass scatter's last-write-wins, expressed as a static mask)
+    same = (off_r[:, None] == off_r[None, :]) & (off_c[:, None] == off_c[None, :])
+    dup_higher = same & (rank[None, :] > rank[:, None])
     tables = dict(
         off_r=off_r, off_c=off_c, rank=rank, n_ranks=int(rank.max()) + 1,
         onehot=onehot, visit_round=np.asarray(visit_round, np.float32),
+        dup_higher=dup_higher,
     )
     _PILE_TABLES[radius] = tables
     return tables
 
 
-def _handle_pile(height, r0, c0, amount, increment, radius: int):
-    """HandlePile (LiveErosionDataTypes.cs:1157-1166) for one pile: sweep
-    DepositSediment until the volume is placed, then commit.
+def _solve_pile(vals0, valid, amount, increment, radius: int):
+    """The DepositSediment sweep loop for one pile, on its per-slot value
+    cache: repeat the full (round, slot) visit sequence until ``amount``
+    is placed.  Returns (vals, modified) — the commit inputs.
 
     The solver state is the per-slot value cache ``vals`` — duplicates of
     the same cell hold independent copies (the reference's desync is part
     of the algorithm).  Each visit is an elementwise one-hot update over
     the ~S slot vector; dynamic per-visit indexing would be a TPU gather
-    per step."""
+    per step.  Shared verbatim by the single-device commit path
+    (_handle_pile) and the sharded sparse solve
+    (parallel.sharded_erosion._sharded_write_sediment_exact) so the f32
+    op sequence is identical."""
     import jax
 
     t = _pile_tables(radius)
-    res_r, res_c = height.shape
-    rows = r0 + jnp.asarray(t["off_r"])
-    cols = c0 + jnp.asarray(t["off_c"])
-    valid = (rows >= 0) & (cols >= 0) & (rows < res_r) & (cols < res_c)
-    cr = jnp.clip(rows, 0, res_r - 1)
-    cc = jnp.clip(cols, 0, res_c - 1)
-    vals0 = height[cr, cc]
     onehot = jnp.asarray(t["onehot"])
     vrounds = jnp.asarray(t["visit_round"])
     validf = valid
@@ -221,6 +224,22 @@ def _handle_pile(height, r0, c0, amount, increment, radius: int):
         cond, sweep,
         (vals0, jnp.zeros(vals0.shape, bool), amount),
     )
+    return vals, modified
+
+
+def _handle_pile(height, r0, c0, amount, increment, radius: int):
+    """HandlePile (LiveErosionDataTypes.cs:1157-1166) for one pile: sweep
+    DepositSediment until the volume is placed (_solve_pile), then
+    commit."""
+    t = _pile_tables(radius)
+    res_r, res_c = height.shape
+    rows = r0 + jnp.asarray(t["off_r"])
+    cols = c0 + jnp.asarray(t["off_c"])
+    valid = (rows >= 0) & (cols >= 0) & (rows < res_r) & (cols < res_c)
+    cr = jnp.clip(rows, 0, res_r - 1)
+    cc = jnp.clip(cols, 0, res_c - 1)
+    vals0 = height[cr, cc]
+    vals, modified = _solve_pile(vals0, valid, amount, increment, radius)
 
     # CommitChanges: modified & valid slots write their cached val, in slot
     # order (last write wins).  Ranks split duplicates so each scatter pass

@@ -45,10 +45,13 @@ so multi-particle collisions on one cell can differ from the single-device
 scatter order by float reassociation (~1 ulp).  Everything else — spawn,
 thermal, pool phases, sediment dispersal — is bit-exact; the single-TPU
 ``approx_max_k`` drain shortcut is replaced by the exact two-stage top-K.
-``EXACT_PILES`` (serial global solver) runs sharded via a replicated
-global solve — every shard all-gathers the maps, runs the identical
-single-device solver, and keeps its own block (bit-exact; O(res²) memory
-per device — a parity mode, the scalable default is the separable tent).
+``EXACT_PILES`` (serial global solver) runs sharded via a SPARSE
+replicated micro-solve — shards gather only the ≤K pile candidates and
+their O(radius²) slot-cell values (masked psum), every device replays
+the identical serial solve with a commit-overlay table, and each shard
+commits the records to its own block (bit-exact incl. cross-border and
+chained-overlap piles; O(K·radius²) memory, no O(res²) replication —
+see _sharded_write_sediment_exact).
 """
 
 from __future__ import annotations
@@ -284,31 +287,125 @@ def _disperse_axis_sharded(s, taps, axis_name: str, dim: int):
 
 
 def _sharded_write_sediment_exact(mesh: Mesh, height, sed_acc, params,
-                                  height_scale):
-    """EXACT_PILES on the sharded cycle: the reference PileSolver is an
-    inherently serial GLOBAL solver (each pile's vertex walk depends on
-    all previously committed piles), so every shard all-gathers the full
-    maps, runs the identical single-device ``write_sediment_map``
-    (replicated compute), and keeps its own block — bit-exact with the
-    single-device opt-in (tested).  Memory is O(res²) per device, so this
-    is a parity/correctness mode for moderate worlds; production uses the
-    separable-tent profile (default), which scales."""
+                                  height_scale, max_piles: int = 64):
+    """EXACT_PILES on the sharded cycle WITHOUT O(res²) replication.
+
+    The reference PileSolver (LiveErosionDataTypes.cs:1052-1228) is an
+    inherently serial GLOBAL solver — each pile's vertex walk reads
+    heights that earlier piles may have committed, and chains of
+    overlapping piles propagate information arbitrarily far, so no fixed
+    halo width is sound.  But the solver's working set is tiny: ≤ K piles
+    (the single-device ``exact_pile_deposit`` top-K), each touching only
+    its S = O(radius²) static slot cells.  So instead of gathering maps,
+    gather the SOLVE:
+
+      1. candidates — each shard top-Ks its pile block, all-gathers the
+         (volume, global index) pairs, and selects the exact global top-K
+         by (volume desc, index asc) — identical to single-device
+         ``lax.top_k`` incl. tie-breaks (same two-stage scheme as drain
+         spawn), then reorders ascending index exactly like
+         ``exact_pile_deposit``.
+      2. slot values — each pile's S slot cells (border-clipped, exactly
+         the single-device ``height[cr, cc]`` read) are fetched with a
+         masked psum: the owning shard contributes, others add zero.
+         (K·S floats — ~135 KB at radius 15, vs O(res²) maps.)
+      3. replicated micro-solve — every device runs the identical serial
+         loop over the K piles (``sediment._solve_pile``, the exact f32
+         op sequence of the single-device path).  After each pile, its
+         effective commits (rank-deduped: the highest-rank modified
+         duplicate per cell — ``dup_higher``) OVERLAY the cached slot
+         values of all later piles whose reads touch the committed
+         cells.  This reproduces the serial read-after-commit semantics
+         for arbitrary overlap chains.
+      4. sharded commit — each shard replays the K commit records over
+         its own block in pile order (non-owned / non-effective slots
+         route to a trash cell), so heights never leave their shard.
+
+    Bit-exact with the single-device opt-in (tested, incl. cross-border
+    and chained-overlap piles)."""
+    from ..erosion.sediment import _pile_tables, _solve_pile
+
+    thresh = params.PILE_THRESHOLD / height_scale
+    radius = params.PILING_RADIUS
+    inc = jnp.float32(params.MIN_PILE_INCREMENT / height_scale)
+    t = _pile_tables(radius)
+    off_r = jnp.asarray(t["off_r"])
+    off_c = jnp.asarray(t["off_c"])
+    dup = jnp.asarray(t["dup_higher"])
+    S = int(t["off_r"].shape[0])
+    K = max_piles
+
     @partial(shard_map, mesh=mesh, in_specs=(_SPEC, _SPEC), out_specs=_SPEC,
              check_vma=False)
     def body(h, sed):
-        lr, lc = h.shape
-        row0, col0 = _origin((lr, lc))
-        h_full = lax.all_gather(
-            lax.all_gather(h, "y", axis=1, tiled=True), "x", axis=0,
-            tiled=True)
-        sed_full = lax.all_gather(
-            lax.all_gather(sed, "y", axis=1, tiled=True), "x", axis=0,
-            tiled=True)
-        from ..erosion.sediment import write_sediment_map
+        er, ec = h.shape
+        row0, col0 = _origin((er, ec))
+        res_r = er * lax.axis_size("x")
+        res_c = ec * lax.axis_size("y")
 
-        new_full = write_sediment_map(h_full, sed_full, params,
-                                      height_scale)
-        return lax.dynamic_slice(new_full, (row0, col0), (lr, lc))
+        # dispersal part — identical to the default path (bit-exact with
+        # kernel_disperse), then the exact mode's breaker-before-piles
+        disperse_part = jnp.where(sed <= thresh, sed, 0.0)
+        pile_part = jnp.where(sed > thresh, sed, 0.0)
+        delta = _disperse_axis_sharded(
+            _disperse_axis_sharded(disperse_part, KERNEL5, "x", 0),
+            KERNEL5, "y", 1)
+        new_h = h + delta
+        ok = (new_h >= 0.0) & (new_h <= 1.0)
+        new_h = jnp.where(ok, new_h, h)
+
+        # 1. global top-K pile candidates (exact two-stage top-K)
+        kloc = min(K, er * ec)
+        lv, li = lax.top_k(pile_part.reshape(-1), kloc)
+        gidx = (row0 + li // ec) * res_c + (col0 + li % ec)
+        cv = lax.all_gather(lax.all_gather(lv, "y"), "x").reshape(-1)
+        cg = lax.all_gather(lax.all_gather(gidx, "y"), "x").reshape(-1)
+        _, sidx, svols = lax.sort((-cv, cg, cv), num_keys=2)
+        svols, sidx = svols[:K], sidx[:K]
+        big = jnp.int32(res_r * res_c)
+        order = jnp.argsort(jnp.where(svols > 0.0, sidx, big))
+        vols = jnp.take(svols, order)
+        idxs = jnp.take(sidx, order)
+
+        # 2. per-pile slot geometry + masked-psum value fetch
+        rows = idxs[:, None] // res_c + off_r[None, :]
+        cols = idxs[:, None] % res_c + off_c[None, :]
+        valid = (rows >= 0) & (cols >= 0) & (rows < res_r) & (cols < res_c)
+        cr = jnp.clip(rows, 0, res_r - 1)
+        cc = jnp.clip(cols, 0, res_c - 1)
+        cid = cr * res_c + cc
+        owned = ((cr >= row0) & (cr < row0 + er)
+                 & (cc >= col0) & (cc < col0 + ec))
+        lrr = jnp.clip(cr - row0, 0, er - 1)
+        lcc = jnp.clip(cc - col0, 0, ec - 1)
+        vals0 = lax.psum(jnp.where(owned, new_h[lrr, lcc], 0.0), ("x", "y"))
+
+        # 3. replicated serial micro-solve with commit overlay
+        def pile_step(j, carry):
+            cur_vals, com_vals, com_eff = carry
+            vals, modified = _solve_pile(cur_vals[j], valid[j], vols[j],
+                                         inc, radius)
+            write = modified & valid[j]
+            eff = write & ~jnp.any(dup & write[None, :], axis=1)
+            m = eff[None, None, :] & (cid[:, :, None] == cid[j][None, None, :])
+            hit = jnp.any(m, axis=-1) & (jnp.arange(K) > j)[:, None]
+            newv = jnp.sum(jnp.where(m, vals[None, None, :], 0.0), axis=-1)
+            cur_vals = jnp.where(hit, newv, cur_vals)
+            return (cur_vals, com_vals.at[j].set(vals),
+                    com_eff.at[j].set(eff))
+
+        _, com_vals, com_eff = lax.fori_loop(
+            0, K, pile_step,
+            (vals0, jnp.zeros((K, S), _F32), jnp.zeros((K, S), bool)))
+
+        # 4. sharded commit replay (pile order; trash-routed non-writes)
+        live = com_eff & owned
+        tr = jnp.where(live, cr - row0, er)
+        tc = jnp.where(live, cc - col0, ec)
+        pad = jnp.zeros((er + 1, ec + 1), h.dtype).at[:er, :ec].set(new_h)
+        pad = lax.fori_loop(
+            0, K, lambda j, p: p.at[tr[j], tc[j]].set(com_vals[j]), pad)
+        return pad[:er, :ec]
 
     return body(height, sed_acc)
 

@@ -719,9 +719,18 @@ def test_sharded_sim_async_surface(mesh):
     assert sim.plant_map.shape == (32, 32)
 
 
-def test_sharded_exact_piles_bit_exact(mesh):
-    """EXACT_PILES routes through the replicated global solve and equals
-    the single-device opt-in bit-for-bit."""
+@pytest.mark.parametrize("case", ["scattered", "chained", "border_clip"])
+def test_sharded_exact_piles_bit_exact(mesh, case):
+    """EXACT_PILES routes through the sparse replicated micro-solve
+    (candidates + slot values gathered, commits replayed per shard — no
+    O(res²) all-gather) and equals the single-device opt-in bit-for-bit.
+
+    ``chained`` places three piles whose supports overlap pairwise ACROSS
+    shard borders — pile 2 reads cells committed by pile 1, pile 3 by
+    pile 2 — exercising the commit-overlay that no fixed halo width could
+    reproduce.  ``border_clip`` puts a pile at the global corner so the
+    clipped out-of-bounds slot reads (live in the solver's deposit
+    accounting) cross the ownership psum."""
     from noize_tpu.erosion.sediment import write_sediment_map
     from noize_tpu.erosion.params import ErosionSettings
     from noize_tpu.parallel.sharded_erosion import _sharded_write_sediment
@@ -730,8 +739,20 @@ def test_sharded_exact_piles_bit_exact(mesh):
     rng = np.random.default_rng(43)
     h = rng.uniform(0.3, 0.7, (res, res)).astype(np.float32)
     sed = rng.uniform(-0.01, 0.012, (res, res)).astype(np.float32)
-    sed[5, 7] = 0.5   # force piles
-    sed[20, 25] = 0.4
+    if case == "scattered":
+        sed[5, 7] = 0.5
+        sed[20, 25] = 0.4
+    elif case == "chained":
+        # blocks are 8 or 16 wide on the 8-device meshes: supports span
+        # the row-8/row-16 and col-16 borders and overlap in a chain
+        sed[14, 14] = 0.6
+        sed[17, 17] = 0.5
+        sed[20, 14] = 0.45
+        sed[15, 18] = 0.3
+    else:
+        sed[0, 0] = 0.5
+        sed[2, 31] = 0.4
+        sed[31, 16] = 0.35
     params = ErosionSettings(PILING_RADIUS=4, EXACT_PILES=True).as_parameters()
     want = write_sediment_map(jnp.asarray(h), jnp.asarray(sed), params, 500.0)
     sh = DM.field_sharding(mesh)
