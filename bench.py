@@ -396,7 +396,14 @@ def main():
         _phase("pool_automata_x10_pallas_quad", pool_body(
             lambda h, p: POOLP.pool_automata_pallas_quad(
                 h, p, iterations=es_b.WATER_STEPS, drain_particles=True)))
+        # production config (sim.py): ppl=8 — the per-launch overhead
+        # (~0.17 ms, round-4 two-point fit) beats ppl=4's lower halo
+        # recompute; ppl=4 kept as the A/B reference
         _phase("pool_automata_x10_pair_fused", pool_body(
+            lambda h, p: POOLP.pool_automata_pallas_pair_fused(
+                h, p, iterations=es_b.WATER_STEPS, drain_particles=True,
+                block=128, phases_per_launch=8, unroll=True)))
+        _phase("pool_automata_x10_pair_fused_ppl4", pool_body(
             lambda h, p: POOLP.pool_automata_pallas_pair_fused(
                 h, p, iterations=es_b.WATER_STEPS, drain_particles=True,
                 block=128, phases_per_launch=4, unroll=True)))
@@ -490,13 +497,20 @@ def main():
     #  * descent: ONE fused gather per scan step; the f32 gather op costs a
     #    FIXED ~0.135 ms on this chip (measured flat from 2.5K-10K elements,
     #    scripts/probe_gather_c64.py; complex64 packing is UNIMPLEMENTED on
-    #    TPU, patch prefetch is throughput-bound past ~10-20K elements and
-    #    loses — BENCH_HISTORY).  101 serial steps bound the chain at
-    #    ~13.6 ms; the all-dead early exit brings the measured value below
-    #    that bound, i.e. the chain is AT its floor.
-    #  * pool: the rank-based phase body runs 40 phases at ~0.16 ms each —
-    #    the VERDICT r2 VPU-roofline estimate for this body was
-    #    0.08-0.15 ms/phase, so measured/roofline ≈ 1.05-1.2.
+    #    TPU; round-4 probe_descent_r4 re-proved patch prefetch loses
+    #    2.6-3.9x — 75K-element span gathers sit past the throughput knee).
+    #    101 serial steps bound the chain at ~13.6 ms; the all-dead early
+    #    exit brings the measured value below that bound — AT floor.
+    #  * pool: round-4 two-point fit over launch granularity (probe slope
+    #    method, fixed offsets cancel: ppl4 = 7.513, ppl8 = 7.294 ms/call)
+    #    separates per-phase VPU compute c = 0.129 ms and per-launch
+    #    overhead L = 0.17 ms.  Pure compute bound 40c = 5.14; the
+    #    checkerboard's 2-row/phase validity shrink makes halo recompute
+    #    MANDATORY at any launch granularity — at the best feasible config
+    #    (ppl8/b128: w/block = 1.25; b256 fails Mosaic, ppl16 loses to
+    #    halo growth) the compute-only floor is 40c x 1.25 = 6.43 ms.
+    #    The round-3 "6.0 floor" ignored halo recompute and is withdrawn
+    #    (BENCH_HISTORY round 4; the 6.28 reading was an artifact).
     # Remaining phases are floor_bound chained measurements (see tags).
     def _got(name):
         e = phases.get(name, {})
@@ -505,11 +519,14 @@ def main():
     gather_fixed_ms = 0.135
     d_meas = _got("descent_scan")
     p_meas = _got("pool_automata_x10_pair_fused") or _got("pool_automata_x10")
+    pool_floor = round(40 * 0.1286 * 1.25, 2)  # 6.43
     structural = {
         "per_gather_fixed_ms": gather_fixed_ms,
         "gather_probe": "scripts/probe_gather_c64.py: f32 gather ~135us "
                         "flat 2.5K-10K elements; knee ~10-20K; ~77M elem/s "
-                        "marginal beyond; complex64 gather UNIMPLEMENTED",
+                        "marginal beyond; complex64 gather UNIMPLEMENTED; "
+                        "probe_descent_r4: 5x5/9x9 patch prefetch measures "
+                        "32.1/48.6 vs 12.4 baseline — closed",
         "descent_scan": {
             "floor_ms": round(gather_fixed_ms * 101, 2),
             "basis": "101 serial gather steps x fixed gather cost; "
@@ -520,12 +537,16 @@ def main():
                              and d_meas <= gather_fixed_ms * 101 * 1.2),
         },
         "pool_automata_x10": {
-            "floor_ms": 6.0,
-            "basis": "40 phases x 0.15 ms VPU-roofline (VERDICT r2 "
-                     "arithmetic for the phase body; rank-based core "
-                     "measured 0.157-0.18 ms/phase)",
+            "floor_ms": pool_floor,
+            "basis": "two-point launch-granularity fit (probe_pool_padless"
+                     " slopes: ppl4 7.513, ppl8 7.294): per-phase compute "
+                     "c=0.129 ms, per-launch overhead L=0.17 ms; floor = "
+                     "40c x 1.25 mandatory halo recompute at the best "
+                     "feasible config (ppl8/b128); pure-compute bound "
+                     "40c = 5.14",
             "measured_ms": p_meas,
-            "within_floor": p_meas is not None and p_meas <= 6.0 * 1.2,
+            "within_floor": (p_meas is not None
+                             and p_meas <= pool_floor * 1.2),
         },
         "note": "all other phases carry floor_bound tags where the "
                 "chained measurement floor dominates; the flagship "

@@ -332,16 +332,19 @@ def _fused_pair_call(h_e_pad, h_o_pad, p_e, p_o, d_e, d_o,
     never change).  The scan carries — pools and drain accumulators —
     are UNPADDED (res/2, res): the pad was pure DMA geometry (every
     border semantic keys on global lattice coords via ``row0``, and
-    out-of-grid window rows are coordinate-masked ghosts), yet re-padding
-    4 carries per launch cost ~100 MB of XLA copy glue per ×10 call
-    (round-4 reconciliation probe: the "6.28 ms" sweep reading was a
-    measurement artifact; the kernel was really ~7.4 ms with ~1.2 ms of
-    that in pad copies).  Carry windows instead clamp their DMA at the
-    grid edges and ZERO the ghost rows (values unused; zeroing keeps
-    any masked-multiply arithmetic NaN-free).  Validity shrinks 2
-    lattice rows per phase per side, so ``halo`` ≥ 2·len(phase_seq);
-    DMA alignment wants ``halo`` a multiple of 8.  Drain accumulators
-    ride through the kernel to keep the XLA path's exact f32 add order.
+    out-of-grid window rows are coordinate-masked ghosts).  Carry
+    windows clamp their DMA at the grid edges and ZERO the ghost rows
+    (values unused; zeroing keeps any masked-multiply arithmetic
+    NaN-free).  Measured (round 4, slope method): the padless form is
+    NEUTRAL vs per-launch XLA re-pads at ppl4 (7.51 vs 7.38 — the
+    "~1.2 ms of pad glue" hypothesis from the reconciliation probe was
+    FALSIFIED; XLA's pad copies were already cheap/elided), kept for the
+    smaller HBM footprint and because ppl8 on this form measures the
+    kernel's best number (7.29).  Validity shrinks 2 lattice rows per
+    phase per side, so ``halo`` ≥ 2·len(phase_seq); DMA alignment wants
+    ``halo`` a multiple of 8 and window starts computed in 8-row units
+    (Mosaic's divisibility prover).  Drain accumulators ride through the
+    kernel to keep the XLA path's exact f32 add order.
 
     Note (round 3, measured): carrying PADDED buffers through the scan
     with manual core-row output DMAs removes the per-launch XLA edge-pad

@@ -196,22 +196,26 @@ def erosion_cycle(state: SimState, settings: ErosionSettings, meta: TileSetMeta,
     # TPU at production sizes, XLA half-row path elsewhere.  Kernel choice
     # is measured (BENCH_HISTORY.md): the half-row PAIR layout with all 4
     # phases of a water step fused per launch, statically unrolled, at
-    # block 128 — 6.28 ms per ×10 call at 2048² with the rank-based phase
-    # core (round 3; ppl-8 measures 6.2 but compiles 2× slower, block 256
-    # exceeds the Mosaic compile, and the diagonal-quadrant variants that
-    # halve elementwise work don't pay on Mosaic: 25-30 ms).
+    # block 128, with UNPADDED scan carries (the kernel clamps its own
+    # carry DMA windows — round 4).  ppl=8 beats ppl=4 by the per-launch
+    # overhead (slope-measured 7.29 vs 7.51 ms/×10-call at 2048²; the
+    # round-3 "6.28" reading was a measurement artifact).  Rejected by
+    # measurement: block 256 (Mosaic compile fails), diagonal-quadrant
+    # variants (25-30 ms), padded carries with manual output DMAs (loses
+    # write-back pipelining), patch/pad-glue theories (BENCH_HISTORY r4).
     import jax as _jax
 
     if _jax.default_backend() == "tpu" and res % 256 == 0:
         from .pool_pallas import pool_automata_pallas_pair_fused
 
+        n_ph = 4 * settings.WATER_STEPS
         pool, drains = pool_automata_pallas_pair_fused(
             world.height,
             world.pool,
             iterations=settings.WATER_STEPS,
             drain_particles=behavior != ErosionMode.ONLY_FLOW_WATER,
             block=128,
-            phases_per_launch=4,
+            phases_per_launch=8 if n_ph % 8 == 0 else 4,
             unroll=True,
         )
     else:
