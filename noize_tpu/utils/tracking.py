@@ -99,7 +99,12 @@ def array_stats(name: str, arr, warn_nonfinite: bool = True) -> dict:
 
 @contextlib.contextmanager
 def device_trace(outdir: str):
-    """jax.profiler trace context — the Unity Profiler marker analog."""
+    """jax.profiler trace context — the Unity Profiler marker analog.
+
+    Verified working on real TPU through the axon tunnel (round 4,
+    scripts/probe_trace_r4.py: 3 traced 2048² noise steps captured a
+    446 KB xplane.pb + trace.json.gz in 0.3 s) and on the CPU backend
+    (tests/test_misc.py)."""
     jax.profiler.start_trace(outdir)
     try:
         yield
@@ -111,11 +116,10 @@ def stage_cost(fn, *args, **kwargs) -> dict:
     """Per-call XLA cost analysis of a stage function: flops, bytes
     accessed, and arithmetic intensity (flops/byte).
 
-    The tunnel-compatible substitute for jax.profiler device traces
-    (jax.profiler cannot trace through the remote-device tunnel —
-    SURVEY.md §5 tracing row): compilation metadata travels with the
-    executable, so this works wherever jit does.  Use it to attribute
-    HBM-bandwidth vs compute-bound behavior per stage."""
+    Complements ``device_trace`` (SURVEY.md §5 tracing row): compilation
+    metadata travels with the executable, so this works wherever jit
+    does — even headless, with no profiler plugin on the host.  Use it
+    to attribute HBM-bandwidth vs compute-bound behavior per stage."""
     compiled = jax.jit(fn).lower(*args, **kwargs).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
