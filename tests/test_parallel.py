@@ -719,7 +719,8 @@ def test_sharded_sim_async_surface(mesh):
     assert sim.plant_map.shape == (32, 32)
 
 
-@pytest.mark.parametrize("case", ["scattered", "chained", "border_clip"])
+@pytest.mark.parametrize("case", ["scattered", "chained", "border_clip",
+                                  "overflow"])
 def test_sharded_exact_piles_bit_exact(mesh, case):
     """EXACT_PILES routes through the sparse replicated micro-solve
     (candidates + slot values gathered, commits replayed per shard — no
@@ -749,10 +750,17 @@ def test_sharded_exact_piles_bit_exact(mesh, case):
         sed[17, 17] = 0.5
         sed[20, 14] = 0.45
         sed[15, 18] = 0.3
-    else:
+    elif case == "border_clip":
         sed[0, 0] = 0.5
         sed[2, 31] = 0.4
         sed[31, 16] = 0.35
+    else:
+        # more piles than the solver's max_piles=64: the sharded
+        # two-stage top-K must select the same 64 (by volume desc, index
+        # asc) as the single-device lax.top_k over the full map
+        rr = np.random.default_rng(7)
+        cells = rr.choice(res * res, size=100, replace=False)
+        sed.reshape(-1)[cells] = rr.uniform(0.2, 0.9, 100).astype(np.float32)
     params = ErosionSettings(PILING_RADIUS=4, EXACT_PILES=True).as_parameters()
     want = write_sediment_map(jnp.asarray(h), jnp.asarray(sed), params, 500.0)
     sh = DM.field_sharding(mesh)
