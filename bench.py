@@ -396,17 +396,17 @@ def main():
         _phase("pool_automata_x10_pallas_quad", pool_body(
             lambda h, p: POOLP.pool_automata_pallas_quad(
                 h, p, iterations=es_b.WATER_STEPS, drain_particles=True)))
-        # production config (sim.py): ppl=8 — the per-launch overhead
-        # (~0.17 ms, round-4 two-point fit) beats ppl=4's lower halo
-        # recompute; ppl=4 kept as the A/B reference
+        # production config (sim.py): ppl4/b256 — wide blocks cut the
+        # mandatory halo recompute share (measured ladder in
+        # BENCH_HISTORY r4); ppl8/b128 kept as the A/B reference
         _phase("pool_automata_x10_pair_fused", pool_body(
             lambda h, p: POOLP.pool_automata_pallas_pair_fused(
                 h, p, iterations=es_b.WATER_STEPS, drain_particles=True,
-                block=128, phases_per_launch=8, unroll=True)))
-        _phase("pool_automata_x10_pair_fused_ppl4", pool_body(
+                block=256, phases_per_launch=4, unroll=True)))
+        _phase("pool_automata_x10_pair_fused_ppl8_b128", pool_body(
             lambda h, p: POOLP.pool_automata_pallas_pair_fused(
                 h, p, iterations=es_b.WATER_STEPS, drain_particles=True,
-                block=128, phases_per_launch=4, unroll=True)))
+                block=128, phases_per_launch=8, unroll=True)))
         # sparse water — the production shape (pools sit in basins)
         pool_sp = jnp.zeros_like(hb).at[rb // 2:rb // 2 + rb // 8, :].set(1e-3)
 
@@ -501,14 +501,17 @@ def main():
     #    2.6-3.9x — 75K-element span gathers sit past the throughput knee).
     #    101 serial steps bound the chain at ~13.6 ms; the all-dead early
     #    exit brings the measured value below that bound — AT floor.
-    #  * pool: round-4 two-point fit over launch granularity (probe slope
-    #    method, fixed offsets cancel: ppl4 = 7.513, ppl8 = 7.294 ms/call)
-    #    separates per-phase VPU compute c = 0.129 ms and per-launch
-    #    overhead L = 0.17 ms.  Pure compute bound 40c = 5.14; the
-    #    checkerboard's 2-row/phase validity shrink makes halo recompute
-    #    MANDATORY at any launch granularity — at the best feasible config
-    #    (ppl8/b128: w/block = 1.25; b256 fails Mosaic, ppl16 loses to
-    #    halo growth) the compute-only floor is 40c x 1.25 = 6.43 ms.
+    #  * pool: round-4 three-point fit over launch granularity AND block
+    #    width (probe slopes, fixed offsets cancel: ppl4/b128 7.513,
+    #    ppl8/b128 7.294, ppl4/b256 6.782 ms/call) separates per-phase
+    #    VPU compute c = 0.129 ms, per-launch fixed overhead
+    #    Lf = 0.091 ms, and per-block launch overhead Lb = 0.010 ms.
+    #    Pure compute bound 40c = 5.14; the checkerboard's 2-row/phase
+    #    validity shrink makes halo recompute MANDATORY at any launch
+    #    granularity, and Mosaic bounds the feasible config space
+    #    (ppl8/b256 and wider fail to compile).  Best feasible config
+    #    (ppl4/b256, production): 40c x 1.0625 halo + 10 launches x
+    #    (Lf + 4 Lb) = 5.47 + 1.32 = 6.78 — every term measured.
     #    The round-3 "6.0 floor" ignored halo recompute and is withdrawn
     #    (BENCH_HISTORY round 4; the 6.28 reading was an artifact).
     # Remaining phases are floor_bound chained measurements (see tags).
@@ -519,7 +522,9 @@ def main():
     gather_fixed_ms = 0.135
     d_meas = _got("descent_scan")
     p_meas = _got("pool_automata_x10_pair_fused") or _got("pool_automata_x10")
-    pool_floor = round(40 * 0.1286 * 1.25, 2)  # 6.43
+    pool_compute_bound = round(40 * 0.1286 * 1.0625, 2)   # 5.47
+    pool_floor = round(40 * 0.1286 * 1.0625
+                       + 10 * (0.091 + 4 * 0.0102), 2)    # 6.79
     structural = {
         "per_gather_fixed_ms": gather_fixed_ms,
         "gather_probe": "scripts/probe_gather_c64.py: f32 gather ~135us "
@@ -538,11 +543,15 @@ def main():
         },
         "pool_automata_x10": {
             "floor_ms": pool_floor,
-            "basis": "two-point launch-granularity fit (probe_pool_padless"
-                     " slopes: ppl4 7.513, ppl8 7.294): per-phase compute "
-                     "c=0.129 ms, per-launch overhead L=0.17 ms; floor = "
-                     "40c x 1.25 mandatory halo recompute at the best "
-                     "feasible config (ppl8/b128); pure-compute bound "
+            "compute_bound_ms": pool_compute_bound,
+            "basis": "three-point config fit (probe_pool_padless + "
+                     "probe_pool_b256 slopes: ppl4/b128 7.513, ppl8/b128 "
+                     "7.294, ppl4/b256 6.782): per-phase compute c=0.129, "
+                     "per-launch fixed Lf=0.091, per-block-launch "
+                     "Lb=0.010; floor = 40c x 1.0625 mandatory halo "
+                     "recompute + 10 x (Lf + 4 Lb) launch overhead at the "
+                     "best Mosaic-feasible config (ppl4/b256, production; "
+                     "ppl8/b256+ fail to compile); pure-compute bound "
                      "40c = 5.14",
             "measured_ms": p_meas,
             "within_floor": (p_meas is not None

@@ -209,13 +209,22 @@ def erosion_cycle(state: SimState, settings: ErosionSettings, meta: TileSetMeta,
         from .pool_pallas import pool_automata_pallas_pair_fused
 
         n_ph = 4 * settings.WATER_STEPS
+        r2 = res // 2
+        # measured ladder (BENCH_HISTORY r4 slopes): ppl4/b256 6.78 <
+        # ppl8/b128 7.29 < ppl4/b128 7.51; ppl8/b256 fails Mosaic.  Wider
+        # blocks cut the mandatory halo recompute share; ppl8 only pays
+        # at narrow blocks where launch/DMA overhead dominates.
+        if r2 % 256 == 0:
+            blk, ppl = 256, 4
+        else:
+            blk, ppl = 128, 8 if n_ph % 8 == 0 else 4
         pool, drains = pool_automata_pallas_pair_fused(
             world.height,
             world.pool,
             iterations=settings.WATER_STEPS,
             drain_particles=behavior != ErosionMode.ONLY_FLOW_WATER,
-            block=128,
-            phases_per_launch=8 if n_ph % 8 == 0 else 4,
+            block=blk,
+            phases_per_launch=ppl,
             unroll=True,
         )
     else:
