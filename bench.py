@@ -501,19 +501,20 @@ def main():
     #    2.6-3.9x — 75K-element span gathers sit past the throughput knee).
     #    101 serial steps bound the chain at ~13.6 ms; the all-dead early
     #    exit brings the measured value below that bound — AT floor.
-    #  * pool: round-4 three-point fit over launch granularity AND block
-    #    width (probe slopes, fixed offsets cancel: ppl4/b128 7.513,
-    #    ppl8/b128 7.294, ppl4/b256 6.782 ms/call) separates per-phase
-    #    VPU compute c = 0.129 ms, per-launch fixed overhead
-    #    Lf = 0.091 ms, and per-block launch overhead Lb = 0.010 ms.
-    #    Pure compute bound 40c = 5.14; the checkerboard's 2-row/phase
-    #    validity shrink makes halo recompute MANDATORY at any launch
-    #    granularity, and Mosaic bounds the feasible config space
-    #    (ppl8/b256 and wider fail to compile).  Best feasible config
-    #    (ppl4/b256, production): 40c x 1.0625 halo + 10 launches x
-    #    (Lf + 4 Lb) = 5.47 + 1.32 = 6.78 — every term measured.
-    #    The round-3 "6.0 floor" ignored halo recompute and is withdrawn
-    #    (BENCH_HISTORY round 4; the 6.28 reading was an artifact).
+    #  * pool: the round-4 three-point fit over launch granularity AND
+    #    block width (slopes: ppl4/b128 7.513, ppl8/b128 7.294,
+    #    ppl4/b256 6.782) separates per-phase VPU compute c = 0.129 ms
+    #    from launch overheads; the cross-block input-DMA PREFETCH then
+    #    hides the overheads and lands the kernel ON the compute bound:
+    #    ppl8/b128-prefetch measures 6.45-6.57 vs 40c x 1.25 mandatory
+    #    halo recompute = 6.43 (1.00-1.02x).  Pure compute bound
+    #    40c = 5.14; the checkerboard's 2-row/phase validity shrink makes
+    #    halo recompute MANDATORY at any launch granularity, and Mosaic
+    #    bounds the feasible space (ppl8/b256+ fail to compile).
+    #    Production runs ppl4/b256-prefetch (fastest IN THE FLAGSHIP,
+    #    53.2 vs 53.5 same-session A/B) whose standalone entry sits
+    #    within 1.1x of the 6.43 floor.  The round-3 "6.0 floor" ignored
+    #    halo recompute and is withdrawn (BENCH_HISTORY round 4).
     # Remaining phases are floor_bound chained measurements (see tags).
     def _got(name):
         e = phases.get(name, {})
@@ -522,9 +523,8 @@ def main():
     gather_fixed_ms = 0.135
     d_meas = _got("descent_scan")
     p_meas = _got("pool_automata_x10_pair_fused") or _got("pool_automata_x10")
-    pool_compute_bound = round(40 * 0.1286 * 1.0625, 2)   # 5.47
-    pool_floor = round(40 * 0.1286 * 1.0625
-                       + 10 * (0.091 + 4 * 0.0102), 2)    # 6.79
+    pool_compute_bound = round(40 * 0.1286, 2)            # 5.14
+    pool_floor = round(40 * 0.1286 * 1.25, 2)             # 6.43
     structural = {
         "per_gather_fixed_ms": gather_fixed_ms,
         "gather_probe": "scripts/probe_gather_c64.py: f32 gather ~135us "
@@ -544,15 +544,15 @@ def main():
         "pool_automata_x10": {
             "floor_ms": pool_floor,
             "compute_bound_ms": pool_compute_bound,
-            "basis": "three-point config fit (probe_pool_padless + "
-                     "probe_pool_b256 slopes: ppl4/b128 7.513, ppl8/b128 "
-                     "7.294, ppl4/b256 6.782): per-phase compute c=0.129, "
-                     "per-launch fixed Lf=0.091, per-block-launch "
-                     "Lb=0.010; floor = 40c x 1.0625 mandatory halo "
-                     "recompute + 10 x (Lf + 4 Lb) launch overhead at the "
-                     "best Mosaic-feasible config (ppl4/b256, production; "
-                     "ppl8/b256+ fail to compile); pure-compute bound "
-                     "40c = 5.14",
+            "basis": "per-phase compute c=0.129 from the three-point "
+                     "config fit (probe_pool_padless/probe_pool_b256 "
+                     "slopes); floor = 40c x 1.25 mandatory halo "
+                     "recompute at ppl8/b128, which the prefetch kernel "
+                     "MEETS (probe_pool_prefetch: 6.45-6.57 = 1.00-1.02x)"
+                     " — production ppl4/b256 trades a slightly looser "
+                     "standalone entry for the fastest flagship "
+                     "(53.2 vs 53.5 same-session A/B); pure-compute "
+                     "bound 40c = 5.14",
             "measured_ms": p_meas,
             "within_floor": (p_meas is not None
                              and p_meas <= pool_floor * 1.2),

@@ -321,121 +321,88 @@ def _fused_quad_call(h_pads, p_pads, d_pads, phase_seq, drain_particles: bool,
     return outs[:4], outs[4:]
 
 
-def _fused_pair_call(h_e_pad, h_o_pad, p_e, p_o, d_e, d_o,
+def _fused_pair_call(h_e_pad, h_o_pad, p_e_pad, p_o_pad, d_e_pad, d_o_pad,
                      phase_seq, drain_particles: bool, res: int,
                      block: int, halo: int, unroll: bool):
     """One launch: run ``phase_seq`` phases on the half-row pair lattices
     with the whole chain VMEM-resident per row block — the pair kernel's
     proven compute profile with the per-phase DMA paid once per launch.
 
-    HEIGHTS are (res/2 + 2·halo, res), edge-padded once per CALL (they
-    never change).  The scan carries — pools and drain accumulators —
-    are UNPADDED (res/2, res): the pad was pure DMA geometry (every
-    border semantic keys on global lattice coords via ``row0``, and
-    out-of-grid window rows are coordinate-masked ghosts).  Carry
-    windows clamp their DMA at the grid edges and ZERO the ghost rows
-    (values unused; zeroing keeps any masked-multiply arithmetic
-    NaN-free).  Measured (round 4, slope method): the padless form is
-    NEUTRAL vs per-launch XLA re-pads at ppl4 (7.51 vs 7.38 — the
-    "~1.2 ms of pad glue" hypothesis from the reconciliation probe was
-    FALSIFIED; XLA's pad copies were already cheap/elided), kept for the
-    smaller HBM footprint and because ppl8 on this form measures the
-    kernel's best number (7.29).  Validity shrinks 2 lattice rows per
-    phase per side, so ``halo`` ≥ 2·len(phase_seq); DMA alignment wants
-    ``halo`` a multiple of 8 and window starts computed in 8-row units
-    (Mosaic's divisibility prover).  Drain accumulators ride through the
-    kernel to keep the XLA path's exact f32 add order.
+    All six inputs are (res/2 + 2·halo, res), edge-padded (heights once
+    per CALL — they never change; carries re-padded per launch, measured
+    NEUTRAL vs in-kernel clamped windows — round 4, 7.38 vs 7.51 at
+    ppl4/b128: XLA's pad copies are cheap, and padding buys UNIFORM
+    window geometry).  Uniform geometry in turn enables the input
+    PREFETCH pipeline: every window buffer is double-buffered (2, w,
+    res) and block i+1's six input DMAs are started before block i's
+    compute, hiding the input transfer behind the phase chain — the
+    exposed per-block input latency was the dominant share of the fitted
+    per-launch overhead (Lf = 0.091 ms, BENCH_HISTORY round 4).  Window
+    starts are computed in 8-row units (Mosaic's divisibility prover
+    accepts ``x * 8`` but not compound index arithmetic).  Validity
+    shrinks 2 lattice rows per phase per side, so ``halo`` ≥
+    2·len(phase_seq); drain accumulators ride through the kernel to keep
+    the XLA path's exact f32 add order.
 
     Note (round 3, measured): carrying PADDED buffers through the scan
     with manual core-row output DMAs removes the per-launch XLA edge-pad
     copies but LOSES overall (8.0 vs 5.2 ms per ×10 call) — BlockSpec
     VMEM outputs pipeline the write-back with the next block's compute,
-    and a trailing in-kernel DMA wait serializes it — hence the clamped
-    unpadded-carry form instead."""
+    and a trailing in-kernel DMA wait serializes it — hence padded
+    inputs with BlockSpec outputs."""
     r2 = res // 2
     nblk = r2 // block
     w = block + 2 * halo
     phase0 = _pool._PHASE_ORDER.index(phase_seq[0])
 
     def kernel(*refs):
-        h_ins = refs[:2]
-        c_ins = refs[2:6]
+        ins = refs[:6]
         outs = refs[6:10]
-        scratch = refs[10:16]
-        sems = refs[16:22]
+        bufs = refs[10:16]      # (2, w, res) double-buffered windows
+        sems = refs[16:22]      # DMA semaphore pairs
         i = pl.program_id(0)
 
-        # heights: padded inputs, uniform window (started first, waited
-        # last — overlaps with the carry branches below)
-        hcopies = [
-            pltpu.make_async_copy(src.at[pl.ds(i * block, w), :], dst, sem)
-            for src, dst, sem in zip(h_ins, scratch[:2], sems[:2])
-        ]
-        for cp in hcopies:
-            cp.start()
-
-        # carries: unpadded inputs, clamped window + zeroed ghost rows.
-        # Branch geometry is static per case (DMA lengths must be static);
-        # impossible cases are pruned at trace time.
-        carry_trips = list(zip(c_ins, scratch[2:6], sems[2:6]))
-        zrows = jnp.zeros((halo, res), _F32)
-
-        def run_copies(cps, zero_lo: bool, zero_hi: int):
-            for _, dst, _ in carry_trips:
-                if zero_lo:
-                    dst[0:halo, :] = zrows
-                if zero_hi:
-                    dst[w - zero_hi:w, :] = jnp.zeros((zero_hi, res), _F32)
-            for cp in cps:
-                cp.start()
-            for cp in cps:
-                cp.wait()
-
-        # Mosaic's divisibility prover accepts ``x * 8`` but not
-        # ``i*block - halo`` (it loses the proof across the subtraction):
-        # compute dynamic window starts in 8-row units, multiply last.
-        lo8 = (i * (block // 8) - halo // 8) * 8
-
-        def first_geo():
-            run_copies([
+        def copies(j, slot):
+            # uniform window [j·block, j·block + w) on every padded input;
+            # start expressed in 8-row units for the divisibility prover
+            jb8 = j * (block // 8)
+            return [
                 pltpu.make_async_copy(
-                    src.at[pl.ds(0, block + halo), :],
-                    dst.at[pl.ds(halo, block + halo), :], sem)
-                for src, dst, sem in carry_trips
-            ], zero_lo=True, zero_hi=0)
-
-        def last_geo():
-            run_copies([
-                pltpu.make_async_copy(
-                    src.at[pl.ds(lo8, block + halo), :],
-                    dst.at[pl.ds(0, block + halo), :], sem)
-                for src, dst, sem in carry_trips
-            ], zero_lo=False, zero_hi=halo)
-
-        def mid_geo():
-            run_copies([
-                pltpu.make_async_copy(
-                    src.at[pl.ds(lo8, w), :], dst, sem)
-                for src, dst, sem in carry_trips
-            ], zero_lo=False, zero_hi=0)
+                    src.at[pl.ds(jb8 * 8, w), :], buf.at[slot],
+                    sem.at[slot])
+                for src, buf, sem in zip(ins, bufs, sems)
+            ]
 
         if nblk == 1:
-            run_copies([
-                pltpu.make_async_copy(src, dst.at[pl.ds(halo, r2), :], sem)
-                for src, dst, sem in carry_trips
-            ], zero_lo=True, zero_hi=halo)
+            for cp in copies(i, 0):
+                cp.start()
+            for cp in copies(i, 0):
+                cp.wait()
+            cur = 0
         else:
-            pl.when(i == 0)(first_geo)
-            pl.when(i == nblk - 1)(last_geo)
-            if nblk > 2:
-                pl.when((i > 0) & (i < nblk - 1))(mid_geo)
+            par = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
 
-        for cp in hcopies:
-            cp.wait()
+            def start_first():
+                for cp in copies(i, par):
+                    cp.start()
+
+            def start_next():
+                for cp in copies(i + 1, nxt):
+                    cp.start()
+
+            # step 0 starts its own windows; every step except the last
+            # prefetches block i+1 while block i computes (inputs are
+            # launch-immutable, so cross-block prefetch is race-free)
+            pl.when(i == 0)(start_first)
+            pl.when(i < nblk - 1)(start_next)
+            for cp in copies(i, par):
+                cp.wait()
+            cur = par
 
         row0 = i * block - halo
-        h_e = scratch[0][:]
-        h_o = scratch[1][:]
+        h_e = bufs[0][cur]
+        h_o = bufs[1][cur]
 
         # heights are constant across every phase of the launch: hoist the
         # neighbor-height maps, drain-eligibility compares, and lattice
@@ -458,7 +425,7 @@ def _fused_pair_call(h_e_pad, h_o_pad, p_e, p_o, d_e, d_o,
                 pre=pre_z[1], geo_mask=masks[xo])
             return nc, na, d_e + dc, d_o + da
 
-        carry = tuple(scratch[n][:] for n in (2, 3, 4, 5))
+        carry = tuple(bufs[n][cur] for n in (2, 3, 4, 5))
         if unroll:
             for xo, zo in phase_seq:
                 carry = apply_phase(carry, xo, zo)
@@ -488,12 +455,12 @@ def _fused_pair_call(h_e_pad, h_o_pad, p_e, p_o, d_e, d_o,
         out_shape=tuple(
             jax.ShapeDtypeStruct((r2, res), _F32) for _ in range(4)
         ),
-        scratch_shapes=[pltpu.VMEM((w, res), _F32) for _ in range(6)]
-        + [pltpu.SemaphoreType.DMA] * 6,
+        scratch_shapes=[pltpu.VMEM((2, w, res), _F32) for _ in range(6)]
+        + [pltpu.SemaphoreType.DMA((2,))] * 6,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(h_e_pad, h_o_pad, p_e, p_o, d_e, d_o)
+    )(h_e_pad, h_o_pad, p_e_pad, p_o_pad, d_e_pad, d_o_pad)
     return outs
 
 
@@ -514,8 +481,8 @@ def pool_automata_pallas_pair_fused(height, pool, iterations: int = 10,
     res = height.shape[0]
     ppl = phases_per_launch
     assert (4 * iterations) % ppl == 0, (ppl, iterations)
-    # multiple of 8: the clamped carry DMAs offset by ``halo`` rows, and
-    # TPU DMA windows want 8-row alignment (CLAUDE.md)
+    # multiple of 8: TPU DMA windows want 8-row alignment (CLAUDE.md) and
+    # the kernel's window starts are computed in 8-row units
     halo = max(-(-2 * ppl // 8) * 8, 8)
     r2 = res // 2
     if block is None:
@@ -545,12 +512,13 @@ def pool_automata_pallas_pair_fused(height, pool, iterations: int = 10,
 
         def make_launch(seq):
             def run(c):
-                # carries go in UNPADDED — the kernel clamps its own DMA
-                # windows (see _fused_pair_call); only the call-constant
-                # heights carry the once-per-call edge pad
+                # carries re-padded per launch (measured neutral — the
+                # pads buy the uniform branch-free window geometry the
+                # prefetch pipeline needs, see _fused_pair_call)
                 p_e, p_o, d_e, d_o = c
                 return tuple(_fused_pair_call(
-                    hpe, hpo, p_e, p_o, d_e, d_o,
+                    hpe, hpo, _padH(p_e, halo), _padH(p_o, halo),
+                    _padH(d_e, halo), _padH(d_o, halo),
                     seq, drain_particles, res, block, halo, unroll,
                 ))
             return run
