@@ -39,6 +39,21 @@ from .world import WorldState
 
 _F32 = jnp.float32
 
+#: Per-cell activity gate — reference parity: SpreadPool skips every
+#: sub-step while ``hWater < 1E-3f`` (LiveErosionDataTypes.cs:972), so a
+#: cell below this much water makes no transfers and cannot drain.
+#: Consequence (used by the call/launch-level skip gates here and in
+#: pool_pallas): a grid where NO cell reaches this gate is a bit-exact
+#: FIXED POINT of the automata — every ``can`` is false, every transfer
+#: and drain is exactly 0, the pool is unchanged, and by induction every
+#: later phase is a no-op too.  Particle pool deposits are
+#: ``water/height_scale * POOL_PLACEMENT_MULTIPLIER`` ≈ 5e-4, so
+#: cold-start pipelines stay below the gate until deposits pile up —
+#: whole pool calls then skip for the cost of one reduction (the
+#: reference instead scans all cells every phase, MultiThreadErosionJob
+#: .cs:277-287).
+MIN_WATER = 1e-3
+
 # neighbor order in SpreadPool: up, right, down, left (as (d_row, d_col))
 _DIRS = ((1, 0), (0, 1), (-1, 0), (0, -1))
 
@@ -263,7 +278,7 @@ def _phase_core(n_height, n_water, h_land, pool_snapshot, geo_mask,
         key_e, bw_e = pick(e, (keys, n_water))
         elig_e = pick_bool(e, elig)
         diff_v = t_height - key_e
-        can = geo_mask & (h_water >= 1e-3)
+        can = geo_mask & (h_water >= MIN_WATER)
         # non-drain transfer: clip(0.25·diff, -0.25·bw, 0.25·h_water)
         # (positive = give to the neighbor, negative = take from it).
         # ``elig_e`` needs no can-gate: moved is can-gated below, so
@@ -735,9 +750,11 @@ def pool_automata(height, pool, iterations: int = 10, drain_particles: bool = Tr
     branches = [make_branch(xo, zo) for xo in (0, 1) for zo in (0, 1)]
 
     def step(carry, t):
-        # coarse form of the reference's per-cell `pool > 0` gate
-        # (MultiThreadErosionJob.cs:284): a dry grid skips the phase body
-        has_water = jnp.any(carry[0] > 0.0) | jnp.any(carry[1] > 0.0)
+        # coarse form of the reference's per-cell activity gate: a grid
+        # with no cell at/above MIN_WATER is a bit-exact fixed point (see
+        # the MIN_WATER note), so the phase body is skipped entirely
+        has_water = (jnp.any(carry[0] >= MIN_WATER)
+                     | jnp.any(carry[1] >= MIN_WATER))
         out = jax.lax.cond(
             has_water,
             lambda c: jax.lax.switch(t % 4, branches, c),

@@ -535,12 +535,16 @@ def pool_automata_pallas_pair_fused(height, pool, iterations: int = 10,
                 step, init, jnp.arange(n_launches, dtype=jnp.int32))
             return p_e, p_o, d_e, d_o
 
-        # ONE upfront wetness gate (the reference's per-cell `pool > 0`
-        # coarsened): a dry grid skips everything; a grid that dries out
-        # MID-call only runs no-op launches, which is numerically
-        # identical — cheaper than a per-launch reduction+cond
+        # ONE upfront wetness gate at the per-cell activity threshold: a
+        # grid with no cell at/above MIN_WATER is a bit-exact fixed point
+        # of the automata (see pool.MIN_WATER — reference parity
+        # LiveErosionDataTypes.cs:972), so all launches skip for the cost
+        # of one reduction.  Cold-start pipelines (particle deposits
+        # ≈5e-4 < the 1e-3 gate) hit this every cycle; a grid that dries
+        # out MID-call only runs no-op launches, which is numerically
+        # identical — cheaper than a per-launch reduction+cond.
         p_e, p_o, d_e, d_o = jax.lax.cond(
-            jnp.any(pool > 0.0), wet_path, lambda init: init,
+            jnp.any(pool >= _pool.MIN_WATER), wet_path, lambda init: init,
             (p_e0, p_o0, z0, z0))
         return (
             _pool._halfrow_join(p_e, p_o, 0),

@@ -246,6 +246,45 @@ class TestPoolAutomata:
         assert (out > 1e-4).sum() > 4  # over multiple cells
         np.testing.assert_allclose(out.sum(), 0.5, rtol=1e-4)
 
+    def test_below_gate_pool_is_exact_fixed_point(self):
+        """A pool with NO cell at/above MIN_WATER is a bit-exact fixed
+        point of the automata (reference parity: SpreadPool's
+        ``hWater < 1E-3f continue``, LiveErosionDataTypes.cs:972 — such a
+        cell makes no transfers and cannot drain).  Ground truth is the
+        UNGATED full-grid path returning its input bit-identically, which
+        proves the property with the real phase code; the gated
+        production path must then equal it (its call-level skip is
+        therefore a pure optimization)."""
+        res = 16
+        height = RNG.uniform(0, 0.3, (res, res)).astype(np.float32)
+        pool = RNG.uniform(0, PO.MIN_WATER * 0.99,
+                           (res, res)).astype(np.float32)
+        assert pool.max() < PO.MIN_WATER
+        h, p = jnp.asarray(height), jnp.asarray(pool)
+        fp, fd = PO._pool_automata_fullgrid(h, p, 10, True)
+        np.testing.assert_array_equal(np.asarray(fp), pool)
+        assert float(jnp.abs(fd).sum()) == 0.0
+        gp, gd = PO.pool_automata(h, p, iterations=10, drain_particles=True)
+        np.testing.assert_array_equal(np.asarray(gp), pool)
+        assert float(jnp.abs(gd).sum()) == 0.0
+
+    def test_gate_boundary_cell_activates(self):
+        """One cell at exactly MIN_WATER must still run the automata: on
+        flat land its dry neighbor is a drain, so water leaves and the
+        gated production path stays bit-exact with the ungated full-grid
+        path (the skip gate must not over-skip)."""
+        res = 16
+        height = np.zeros((res, res), np.float32)
+        pool = np.zeros((res, res), np.float32)
+        pool[5, 6] = np.float32(PO.MIN_WATER)
+        h, p = jnp.asarray(height), jnp.asarray(pool)
+        gp, gd = PO.pool_automata(h, p, iterations=1, drain_particles=True)
+        fp, fd = PO._pool_automata_fullgrid(h, p, 1, True)
+        np.testing.assert_array_equal(np.asarray(gp), np.asarray(fp))
+        np.testing.assert_array_equal(np.asarray(gd), np.asarray(fd))
+        assert float(np.asarray(gd).sum()) > 0.0  # the drain fired
+        assert float(np.asarray(gp)[5, 6]) == 0.0  # cell fully drained
+
     def test_quad_layout_roundtrip(self):
         a = jnp.asarray(RNG.uniform(0, 1, (16, 16)).astype(np.float32))
         e, o = PO._halfrow_views(a, 0)

@@ -151,6 +151,43 @@ class TestPoolPallas:
                 np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
                 np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
 
+    def test_fused_pair_below_gate_skips_bit_exact(self):
+        """The fused kernel's call-level wetness gate sits at the per-cell
+        activity threshold (pool.MIN_WATER): a below-gate pool must come
+        back bit-identical with zero drains (it is a fixed point — see
+        pool.MIN_WATER), and a pool with one at-gate cell must still run
+        the full kernel and match the XLA path bit-for-bit."""
+        from jax.experimental.pallas import tpu as pltpu
+        from noize_tpu.erosion import pool as PO
+        from noize_tpu.erosion import pool_pallas as PP
+
+        res = 32
+        rng = np.random.default_rng(41)
+        h = jnp.asarray(rng.uniform(0, 0.5, (res, res)).astype(np.float32))
+        # everywhere strictly below the gate — cold-start flagship shape
+        p_dry = jnp.asarray(
+            rng.uniform(0, PO.MIN_WATER * 0.99,
+                        (res, res)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            gp, gd = PP.pool_automata_pallas_pair_fused(
+                h, p_dry, iterations=2, drain_particles=True, block=8,
+                phases_per_launch=4)
+        np.testing.assert_array_equal(np.asarray(gp), np.asarray(p_dry))
+        assert float(np.abs(np.asarray(gd)).sum()) == 0.0
+        # one cell at exactly the gate: the kernel must run and match XLA
+        p_wet = np.asarray(p_dry).copy()
+        p_wet[11, 13] = np.float32(PO.MIN_WATER)
+        p_wet = jnp.asarray(p_wet)
+        wp, wd = PO.pool_automata(h, p_wet, iterations=2,
+                                  drain_particles=True)
+        assert not np.array_equal(np.asarray(wp), np.asarray(p_wet))
+        with pltpu.force_tpu_interpret_mode():
+            gp, gd = PP.pool_automata_pallas_pair_fused(
+                h, p_wet, iterations=2, drain_particles=True, block=8,
+                phases_per_launch=4)
+        np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
+        np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
+
     def test_pair_kernel_sparse_water(self):
         """Sparse water (the production shape — pools sit in basins):
         results must match the XLA path exactly."""
