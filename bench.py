@@ -561,6 +561,16 @@ def main():
                 "chained measurement floor dominates; the flagship "
                 "chained value is BELOW the sum of standalone phase "
                 "entries (in-jit fusion), so no phase hides slack",
+        "flagship_pool_gate": "the flagship's 3 pool calls SKIP at the "
+                "cold-start shape: particle deposits (~5e-4) sit below "
+                "SpreadPool's per-cell 1e-3 activity gate "
+                "(LiveErosionDataTypes.cs:972), making the automata a "
+                "bit-exact no-op — probed per-water-step at two shapes "
+                "(scripts/probe_pool_conv.py, BENCH_HISTORY r4). The "
+                "call-level any(pool >= MIN_WATER) gate skips those "
+                "launches; the standalone pool entries above use an "
+                "AT-GATE uniform pool (1e-3) so they keep measuring the "
+                "full wet-path kernel and its floor",
     }
     results["structural_floor"] = structural
 
