@@ -47,7 +47,10 @@ class TileServer:
     def __init__(
         self,
         config: TL.TilePipelineConfig,
-        batch_size: int = 8,
+        # per-tile compute degrades past batch ~4 on one chip while dispatch
+        # amortizes (probe_batch_scale: 1.79/2.26/4.05 ms/tile at 1/4/16);
+        # scale beyond 4 with the dp mesh axis, not a bigger batch
+        batch_size: int = 4,
         mesh=None,
         max_wait_ms: float = 5.0,
         seed: int = 0,
