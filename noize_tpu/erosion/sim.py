@@ -36,15 +36,89 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+from functools import lru_cache
+
 from ..core.tiles import TileSetMeta
 from ..ops.thermal import thermal_erosion
 from .params import ErosionMode, ErosionSettings
 from .particles import Particles, descend_all, spawn
-from .pool import pool_automata
+from .pool import MIN_WATER, pool_automata
 from .sediment import write_sediment_map
 from .world import WorldState, update_flow_from_track, curvature_map
 
 _F32 = jnp.float32
+
+
+@lru_cache(maxsize=None)
+def _gated_pool(iterations: int, drain_particles: bool):
+    """Pool-automata dispatch with a BATCH-level wetness gate.
+
+    Unbatched, this is exactly the kernel ladder below (pallas pair-fused
+    on TPU at production sizes, XLA half-row path elsewhere), whose
+    internal call-level gates already skip below-gate-dry grids bit-exactly
+    (see pool.MIN_WATER).  Under ``vmap`` (the tile_batch serving path)
+    those internal ``lax.cond`` gates degrade to ``select`` — both branches
+    execute — so every batched cold-start tile would pay the full kernel
+    the solo flagship skips.  The ``custom_vmap`` rule restores a SCALAR
+    any-tile-at-gate predicate around the mapped kernel: an all-dry batch
+    skips entirely (bit-exact — each below-gate tile is a fixed point of
+    the automata, returning (pool, 0) exactly as the unbatched gate does);
+    a mixed batch runs the kernel for all tiles, which is what vmap would
+    have done anyway.  Reference parity for the gate threshold:
+    SpreadPool's per-cell ``hWater < 1E-3f continue``
+    (LiveErosionDataTypes.cs:972)."""
+
+    def raw(height, pool):
+        res = height.shape[0]
+        if jax.default_backend() == "tpu" and res % 256 == 0:
+            from .pool_pallas import pool_automata_pallas_pair_fused
+
+            n_ph = 4 * iterations
+            r2 = res // 2
+            # measured ladder (BENCH_HISTORY r4 slopes): ppl4/b256 6.78 <
+            # ppl8/b128 7.29 < ppl4/b128 7.51; ppl8/b256 fails Mosaic.
+            # Wider blocks cut the mandatory halo recompute share; ppl8
+            # only pays at narrow blocks where launch/DMA overhead
+            # dominates.
+            if r2 % 256 == 0:
+                blk, ppl = 256, 4
+            else:
+                blk, ppl = 128, 8 if n_ph % 8 == 0 else 4
+            return pool_automata_pallas_pair_fused(
+                height, pool, iterations=iterations,
+                drain_particles=drain_particles, block=blk,
+                phases_per_launch=ppl, unroll=True,
+            )
+        return pool_automata(
+            height, pool, iterations=iterations,
+            drain_particles=drain_particles,
+        )
+
+    vf = jax.custom_batching.custom_vmap(raw)
+
+    @vf.def_vmap
+    def _rule(axis_size, in_batched, height, pool):
+        h_b, p_b = in_batched
+
+        def wet(hp):
+            h, p = hp
+            out = jax.vmap(
+                raw, in_axes=(0 if h_b else None, 0 if p_b else None)
+            )(h, p)
+            return out
+
+        def dry(hp):
+            _, p = hp
+            if not p_b:
+                p = jnp.broadcast_to(p[None], (axis_size,) + p.shape)
+            return p, jnp.zeros_like(p)
+
+        out = jax.lax.cond(
+            jnp.any(pool >= MIN_WATER), wet, dry, (height, pool)
+        )
+        return out, (True, True)
+
+    return vf
 
 
 @jax.tree_util.register_dataclass
@@ -195,45 +269,17 @@ def erosion_cycle(state: SimState, settings: ErosionSettings, meta: TileSetMeta,
     # 7. pool automata (PoolAutomataJob) — pallas VMEM-resident phases on
     # TPU at production sizes, XLA half-row path elsewhere.  Kernel choice
     # is measured (BENCH_HISTORY.md): the half-row PAIR layout with all 4
-    # phases of a water step fused per launch, statically unrolled, at
-    # block 128, with UNPADDED scan carries (the kernel clamps its own
-    # carry DMA windows — round 4).  ppl=8 beats ppl=4 by the per-launch
-    # overhead (slope-measured 7.29 vs 7.51 ms/×10-call at 2048²; the
-    # round-3 "6.28" reading was a measurement artifact).  Rejected by
-    # measurement: block 256 (Mosaic compile fails), diagonal-quadrant
-    # variants (25-30 ms), padded carries with manual output DMAs (loses
-    # write-back pipelining), patch/pad-glue theories (BENCH_HISTORY r4).
-    import jax as _jax
-
-    if _jax.default_backend() == "tpu" and res % 256 == 0:
-        from .pool_pallas import pool_automata_pallas_pair_fused
-
-        n_ph = 4 * settings.WATER_STEPS
-        r2 = res // 2
-        # measured ladder (BENCH_HISTORY r4 slopes): ppl4/b256 6.78 <
-        # ppl8/b128 7.29 < ppl4/b128 7.51; ppl8/b256 fails Mosaic.  Wider
-        # blocks cut the mandatory halo recompute share; ppl8 only pays
-        # at narrow blocks where launch/DMA overhead dominates.
-        if r2 % 256 == 0:
-            blk, ppl = 256, 4
-        else:
-            blk, ppl = 128, 8 if n_ph % 8 == 0 else 4
-        pool, drains = pool_automata_pallas_pair_fused(
-            world.height,
-            world.pool,
-            iterations=settings.WATER_STEPS,
-            drain_particles=behavior != ErosionMode.ONLY_FLOW_WATER,
-            block=blk,
-            phases_per_launch=ppl,
-            unroll=True,
-        )
-    else:
-        pool, drains = pool_automata(
-            world.height,
-            world.pool,
-            iterations=settings.WATER_STEPS,
-            drain_particles=behavior != ErosionMode.ONLY_FLOW_WATER,
-        )
+    # phases of a water step fused per launch, statically unrolled, with
+    # UNPADDED scan carries (the kernel clamps its own carry DMA windows —
+    # round 4).  Rejected by measurement: diagonal-quadrant variants
+    # (25-30 ms), padded carries with manual output DMAs (loses write-back
+    # pipelining), patch/pad-glue theories (BENCH_HISTORY r4).  The
+    # _gated_pool wrapper adds a batch-level wetness gate so the vmapped
+    # tile_batch path skips all-dry batches the way the solo path does.
+    pool, drains = _gated_pool(
+        settings.WATER_STEPS,
+        behavior != ErosionMode.ONLY_FLOW_WATER,
+    )(world.height, world.pool)
     world = replace(world, pool=pool)
     drain_water = drain_water + drains
 

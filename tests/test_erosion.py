@@ -715,3 +715,45 @@ def test_descend_compaction_bit_exact():
     b = PART.descend_all(parts, w, params, 500.0, 1.0, res, compact=True)
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestGatedPoolBatchRule:
+    """_gated_pool's custom_vmap rule: a batch-level wetness gate that
+    skips all-dry batches bit-exactly (the vmapped serving path would
+    otherwise pay the full pool kernel per cold-start tile — lax.cond
+    degrades to select under vmap)."""
+
+    def _mk(self, B=3, R=64):
+        from noize_tpu.erosion.sim import _gated_pool
+
+        k = jax.random.PRNGKey(0)
+        h = jax.random.uniform(k, (B, R, R), jnp.float32)
+        dry = jnp.full((B, R, R), 5e-4, jnp.float32)  # below MIN_WATER
+        return _gated_pool(2, True), h, dry
+
+    def test_unbatched_parity(self):
+        vf, h, _ = self._mk()
+        p = jax.random.uniform(jax.random.PRNGKey(1), h[0].shape,
+                               jnp.float32) * 0.01
+        a = vf(h[0], p)
+        b = PO.pool_automata(h[0], p, iterations=2, drain_particles=True)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_all_dry_batch_is_identity(self):
+        vf, h, dry = self._mk()
+        po, dr = jax.jit(jax.vmap(vf))(h, dry)
+        np.testing.assert_array_equal(np.asarray(po), np.asarray(dry))
+        assert not np.any(np.asarray(dr))
+
+    def test_mixed_batch_matches_stacked_singles(self):
+        vf, h, dry = self._mk()
+        wet = jax.random.uniform(jax.random.PRNGKey(1), h[0].shape,
+                                 jnp.float32) * 0.01
+        mixed = dry.at[1].set(wet)
+        po, dr = jax.jit(jax.vmap(vf))(h, mixed)
+        for i in range(h.shape[0]):
+            rp, rd = PO.pool_automata(h[i], mixed[i], iterations=2,
+                                      drain_particles=True)
+            np.testing.assert_array_equal(np.asarray(po[i]), np.asarray(rp))
+            np.testing.assert_array_equal(np.asarray(dr[i]), np.asarray(rd))
