@@ -472,7 +472,12 @@ def descend_all(p: Particles, state: WorldState, params, height_scale,
     steps = (params.MAXAGE + 1) if max_steps is None else max_steps
     n_chunks = -(-steps // chunk)
     shape = state.height.shape
-    zeros = jnp.zeros(shape[0] * shape[1], _F32)
+    # event accumulators start as constants but the loop bodies add
+    # per-shard-varying data — carry types must agree inside shard_map
+    # (tile_batch dp path); match_vma is a numerical no-op
+    from ..utils.helpers import match_vma
+
+    zeros = match_vma(jnp.zeros(shape[0] * shape[1], _F32), state.height)
     with_plants = getattr(params, "VEGETATION_FRICTION", 0.0) > 0.0
     use_patches = (patch_k > 0 and res >= 2 * patch_k + 1
                    and not with_plants)  # patches carry 3 maps only

@@ -148,7 +148,13 @@ def _spawn_with_drains(key, n, res, drain_water):
     a pure random spawn."""
     k1, k2 = jax.random.split(key)
     flat = drain_water.reshape(-1)
-    fresh = spawn(k1, n, res)
+    # spawn() leaves that are trace-time constants (water/sediment/age/…)
+    # must carry drain_water's manual-mesh varying axes for the cond below
+    # to type-check inside shard_map (tile_batch dp path); match_vma is a
+    # numerical no-op and a complete no-op outside shard_map
+    from ..utils.helpers import match_vma
+
+    fresh = match_vma(spawn(k1, n, res), flat)
 
     def with_drains(flat):
         if flat.shape[0] > 4 * n and jax.default_backend() == "tpu":

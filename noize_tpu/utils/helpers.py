@@ -10,6 +10,28 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import jax
+
+
+def match_vma(val, ref):
+    """Cast replicated leaves of pytree ``val`` to carry the manual-mesh
+    varying axes of ``ref`` (``jax.typeof(...).vma``).
+
+    Inside ``shard_map``, ``lax.cond`` branch outputs must agree on which
+    manual axes they vary over; a branch that returns a trace-time constant
+    (replicated, vma=∅) where the other branch returns per-shard data
+    (vma={axis}) fails to type-check.  This pcasts each ``val`` leaf up to
+    ``ref``'s varying axes — a numerical no-op, and a complete no-op
+    outside ``shard_map`` (vma=∅ everywhere there)."""
+    want = jax.typeof(ref).vma
+
+    def cast(leaf):
+        missing = want - jax.typeof(leaf).vma
+        if missing:
+            return jax.lax.pcast(leaf, tuple(missing), to="varying")
+        return leaf
+
+    return jax.tree_util.tree_map(cast, val)
 
 
 def fill(array, count: int, value):

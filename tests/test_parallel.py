@@ -149,6 +149,40 @@ class TestTileBatch:
         np.testing.assert_allclose(
             np.asarray(out8["mesh_planes"][1]), got, rtol=5e-7)
 
+    def test_batch_with_erosion_matches_single(self):
+        """The hybrid batch (vmapped fields + lax.map'd erosion —
+        BENCH_HISTORY round 4) reproduces the solo generate_tile per tile,
+        on one device and sharded over the batch mesh."""
+        from noize_tpu.erosion.params import ErosionSettings
+
+        meta = TileSetMeta(tile_res=24, tile_size=24, generator_res=32,
+                           height=100, margin=2)
+        es = ErosionSettings(PARTICLES_PER_CYCLE=16, MAXAGE=8,
+                             WATER_STEPS=1, CYCLES=1, PILING_RADIUS=4)
+        cfg = TL.TilePipelineConfig(
+            meta=meta, noise_type="Perlin", octaves=2, noise_size=80.0,
+            blur_iterations=1, erosion=es, erosion_cycles=1,
+        )
+        origins = TL.grid_origins(meta, 4, 2)
+        batched = np.asarray(TL.tile_batch(cfg, origins, seed=3))
+        base = jax.random.PRNGKey(3)
+        for i in (0, 5):
+            key = jax.random.fold_in(
+                jax.random.fold_in(base, int(origins[i, 0])),
+                int(origins[i, 1]))
+            single = np.asarray(jax.jit(
+                lambda k: TL.generate_tile(cfg, float(origins[i, 0]),
+                                           float(origins[i, 1]), k)
+            )(key))
+            np.testing.assert_allclose(batched[i], single, atol=1e-6)
+        # the sharded dp path (shard_map of the same local hybrid) agrees
+        bmesh = DM.batch_mesh()
+        out8 = np.asarray(TL.tile_batch(cfg, origins, mesh=bmesh, seed=3))
+        np.testing.assert_allclose(out8, batched, atol=1e-6)
+        # whole tiles per device: a non-divisible batch is an error
+        with pytest.raises(ValueError, match="divide"):
+            TL.tile_batch(cfg, origins[:3], mesh=bmesh)
+
     def test_tiles_seamless_with_margin(self):
         """Adjacent tiles generated independently agree on their overlap —
         the reference's margin-consistency contract."""
