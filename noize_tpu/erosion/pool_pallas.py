@@ -565,6 +565,266 @@ def _padH(a, h: int):
     )
 
 
+def _mega_call(h_e_pad, h_o_pad, c_bufs, phase_seq, n_groups: int,
+               drain_particles: bool, res: int, block: int, halo: int):
+    """ALL phase groups in ONE pallas launch: ``grid = (n_groups, nblk)``
+    runs the whole ×``iterations`` automata as one sequential TPU grid,
+    eliminating the per-launch overhead (~0.17 ms × n_launches fitted,
+    BENCH_HISTORY round 4) and the inter-launch XLA glue entirely.
+
+    Carries (pools + drain accumulators) ping-pong between two row slots
+    of one (2·r2, res) HBM buffer per field (``input_output_aliases`` —
+    group g reads slot g%2, writes slot (g+1)%2; the caller fills slot 0
+    and takes slot n_groups%2 back).  Carry windows clamp their DMA at
+    the grid edges with zeroed ghost rows — the padless geometry (border
+    semantics key on global lattice coords via ``row0``; ghost values are
+    coordinate-masked, proven bit-exact round 4).  Writes are manual
+    VMEM→HBM DMAs from a single staging buffer per field, started after
+    each block's compute and waited exactly once each:
+
+      * write (g, j<nblk-1) → waited by (g, j+1) before it refills the
+        staging buffer (the write overlaps block j+1's input DMA + phase
+        chain — the round-3 "manual output DMA serializes" trap waited in
+        the SAME grid step);
+      * write (g, nblk-1)   → waited by (g+1, 0) BEFORE its carry reads
+        (it lands in the slot group g+1 reads — the group boundary);
+      * the final step waits its own write before the kernel ends.
+
+    Read-safety across the boundary: block (g, j)'s window overlaps core
+    rows of (g-1, j-1/j/j+1) only; those writes were waited by
+    (g-1, j+1/j+2) or (g, 0), all sequentially earlier.  Heights are
+    call-constant padded inputs with uniform windows, started first and
+    waited after the carry branches (overlap)."""
+    r2 = res // 2
+    nblk = r2 // block
+    w = block + 2 * halo
+
+    def kernel(*refs):
+        h_ins = refs[:2]
+        c_ins = refs[2:6]
+        c_outs = refs[6:10]
+        win = refs[10:16]       # (w, res) input windows: 2 heights + 4 carries
+        stg = refs[16:20]       # (block, res) write staging per carry field
+        sem_in = refs[20]       # DMA sems (6,) input windows
+        sem_w = refs[21]        # DMA sems (4,) staged writes
+        g = pl.program_id(0)
+        j = pl.program_id(1)
+
+        rs8 = jax.lax.rem(g, 2) * (r2 // 8)            # read-slot row base /8
+        ws8 = jax.lax.rem(g + 1, 2) * (r2 // 8)        # write-slot row base /8
+
+        def write_copies(dst_u8):
+            return [
+                pltpu.make_async_copy(
+                    stg[f], c_outs[f].at[pl.ds(dst_u8 * 8, block), :],
+                    sem_w.at[f])
+                for f in range(4)
+            ]
+
+        # group boundary: the (g-1, nblk-1) write lands in the slot this
+        # group reads — wait it before any carry read (also frees staging)
+        def wait_prev_group():
+            for cp in write_copies(rs8 + (nblk - 1) * (block // 8)):
+                cp.wait()
+
+        pl.when((j == 0) & (g > 0))(wait_prev_group)
+
+        # heights: uniform windows over the padded inputs, started first
+        jb8 = j * (block // 8)
+        hcopies = [
+            pltpu.make_async_copy(
+                src.at[pl.ds(jb8 * 8, w), :], dst, sem_in.at[f])
+            for f, (src, dst) in enumerate(zip(h_ins, win[:2]))
+        ]
+        for cp in hcopies:
+            cp.start()
+
+        # carries: clamped windows from read slot g%2, ghost rows zeroed
+        # (values unused — geometry masks key on row0; zeroing keeps any
+        # masked-multiply arithmetic NaN-free).  Static geometry per case.
+        carry_trips = [(c_ins[f], win[2 + f], sem_in.at[2 + f])
+                       for f in range(4)]
+        zrows = jnp.zeros((halo, res), _F32)
+
+        def run_copies(cps, zero_lo: bool, zero_hi: int):
+            for _, dst, _ in carry_trips:
+                if zero_lo:
+                    dst[0:halo, :] = zrows
+                if zero_hi:
+                    dst[w - zero_hi:w, :] = jnp.zeros((zero_hi, res), _F32)
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+
+        def first_geo():
+            run_copies([
+                pltpu.make_async_copy(
+                    src.at[pl.ds(rs8 * 8, block + halo), :],
+                    dst.at[pl.ds(halo, block + halo), :], sem)
+                for src, dst, sem in carry_trips
+            ], zero_lo=True, zero_hi=0)
+
+        def last_geo():
+            u8 = rs8 + jb8 - (halo // 8)
+            run_copies([
+                pltpu.make_async_copy(
+                    src.at[pl.ds(u8 * 8, block + halo), :],
+                    dst.at[pl.ds(0, block + halo), :], sem)
+                for src, dst, sem in carry_trips
+            ], zero_lo=False, zero_hi=halo)
+
+        def mid_geo():
+            u8 = rs8 + jb8 - (halo // 8)
+            run_copies([
+                pltpu.make_async_copy(
+                    src.at[pl.ds(u8 * 8, w), :], dst, sem)
+                for src, dst, sem in carry_trips
+            ], zero_lo=False, zero_hi=0)
+
+        if nblk == 1:
+            run_copies([
+                pltpu.make_async_copy(
+                    src.at[pl.ds(rs8 * 8, r2), :],
+                    dst.at[pl.ds(halo, r2), :], sem)
+                for src, dst, sem in carry_trips
+            ], zero_lo=True, zero_hi=halo)
+        else:
+            pl.when(j == 0)(first_geo)
+            pl.when(j == nblk - 1)(last_geo)
+            if nblk > 2:
+                pl.when((j > 0) & (j < nblk - 1))(mid_geo)
+
+        for cp in hcopies:
+            cp.wait()
+
+        row0 = j * block - halo
+        h_e = win[0][:]
+        h_o = win[1][:]
+
+        # heights are constant across every phase: hoist the neighbor maps,
+        # drain compares, and lattice masks out of the phase bodies
+        pre_z = (_pool._pair_pre(h_e, h_o, 0, res, row0=row0),
+                 _pool._pair_pre(h_o, h_e, 1, res, row0=row0))
+        masks = {xo: _pool._pair_geo_mask(h_e.shape, xo, res, row0)
+                 for xo in (0, 1)}
+
+        def apply_phase(c, xo, zo):
+            p_e, p_o, d_e, d_o = c
+            if zo == 0:
+                na, nc, da, dc = _pool._phase_pair(
+                    h_e, h_o, p_e, p_o, xo, 0, drain_particles, res,
+                    row0=row0, pre=pre_z[0], geo_mask=masks[xo])
+                return na, nc, d_e + da, d_o + dc
+            na, nc, da, dc = _pool._phase_pair(
+                h_o, h_e, p_o, p_e, xo, 1, drain_particles, res, row0=row0,
+                pre=pre_z[1], geo_mask=masks[xo])
+            return nc, na, d_e + dc, d_o + da
+
+        carry = tuple(win[2 + f][:] for f in range(4))
+        for xo, zo in phase_seq:
+            carry = apply_phase(carry, xo, zo)
+
+        # staging reuse guard: the previous block's write must have left
+        # the staging buffer before this block refills it (the write has
+        # been overlapping this block's input DMAs + phase chain)
+        def wait_prev_block():
+            for cp in write_copies(ws8 + (j - 1) * (block // 8)):
+                cp.wait()
+
+        if nblk > 1:
+            pl.when(j > 0)(wait_prev_block)
+
+        sl = slice(halo, halo + block)
+        for f in range(4):
+            stg[f][:] = carry[f][sl, :]
+        own = write_copies(ws8 + jb8)
+        for cp in own:
+            cp.start()
+
+        # the very last write has no later step to wait it
+        def wait_own():
+            for cp in own:
+                cp.wait()
+
+        pl.when((g == n_groups - 1) & (j == nblk - 1))(wait_own)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_groups, nblk),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 4,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((2 * r2, res), _F32) for _ in range(4)
+        ),
+        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
+        scratch_shapes=[pltpu.VMEM((w, res), _F32) for _ in range(6)]
+        + [pltpu.VMEM((block, res), _F32) for _ in range(4)]
+        + [pltpu.SemaphoreType.DMA((6,)), pltpu.SemaphoreType.DMA((4,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(h_e_pad, h_o_pad, *c_bufs)
+    return outs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "drain_particles", "block",
+                     "phases_per_launch"),
+)
+def pool_automata_pallas_mega(height, pool, iterations: int = 10,
+                              drain_particles: bool = True,
+                              block: int = None,
+                              phases_per_launch: int = 4):
+    """Half-row-pair pool automata as ONE pallas launch for the whole
+    ×``iterations`` call (``_mega_call``).  Bit-exact with pool_automata —
+    same _phase_pair core, same per-group phase partition as
+    pool_automata_pallas_pair_fused at equal (block, phases_per_launch).
+    Requires 4 | phases_per_launch (uniform groups)."""
+    res = height.shape[0]
+    ppl = phases_per_launch
+    assert ppl % 4 == 0 and (4 * iterations) % ppl == 0, (ppl, iterations)
+    halo = max(-(-2 * ppl // 8) * 8, 8)
+    r2 = res // 2
+    if block is None:
+        from ..ops.pallas.blocks import pick_block
+
+        block = pick_block(r2, halo, cols=res)
+    assert block % 8 == 0 and halo % 8 == 0, (block, halo)
+    n_groups = (4 * iterations) // ppl
+    seq = tuple(_pool._PHASE_ORDER) * (ppl // 4)
+    fs = (n_groups % 2) * r2
+
+    from ..ops.pallas.batching import sequential_vmap
+
+    @sequential_vmap
+    def run_all(height, pool):
+        h_e, h_o = _pool._halfrow_views(height, 0)
+        p_e0, p_o0 = _pool._halfrow_views(pool, 0)
+        hpe, hpo = _padH(h_e, halo), _padH(h_o, halo)
+        z0 = jnp.zeros_like(p_e0)
+
+        def wet_path(init):
+            # slot 0 = initial state, slot 1 = ping-pong scratch
+            c_bufs = [jnp.concatenate([x, z0], 0) for x in init]
+            outs = _mega_call(hpe, hpo, c_bufs, seq, n_groups,
+                              drain_particles, res, block, halo)
+            return tuple(o[fs:fs + r2] for o in outs)
+
+        # same call-level wetness gate as the pair-fused kernel (a grid
+        # with no cell at/above MIN_WATER is a bit-exact fixed point)
+        p_e, p_o, d_e, d_o = jax.lax.cond(
+            jnp.any(pool >= _pool.MIN_WATER), wet_path, lambda init: init,
+            (p_e0, p_o0, z0, z0))
+        return (
+            _pool._halfrow_join(p_e, p_o, 0),
+            _pool._halfrow_join(d_e, d_o, 0),
+        )
+
+    return run_all(height, pool)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "drain_particles", "block",
