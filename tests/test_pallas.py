@@ -188,6 +188,51 @@ class TestPoolPallas:
         np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
         np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
 
+    def test_mega_kernel_matches_xla_path(self):
+        """Single-launch mega kernel (the whole ×iterations automata as one
+        grid=(n_groups, nblk) pallas call, ping-pong HBM carry slots): must
+        be BIT-exact with the XLA pair path — pools and drains — across
+        group boundaries, for multi-group (ppl=4 → 2 groups) and
+        single-group (ppl=8) partitions, multi-block and single-block."""
+        from jax.experimental.pallas import tpu as pltpu
+        from noize_tpu.erosion import pool as PO
+        from noize_tpu.erosion import pool_pallas as PP
+
+        res = 32
+        rng = np.random.default_rng(51)
+        h = jnp.asarray(rng.uniform(0, 0.5, (res, res)).astype(np.float32))
+        p = jnp.asarray(
+            (rng.uniform(-0.05, 0.05, (res, res))).clip(0).astype(np.float32))
+        wp, wd = PO.pool_automata(h, p, iterations=2, drain_particles=True)
+        with pltpu.force_tpu_interpret_mode():
+            for ppl, block in ((4, 8), (8, 8), (4, 16)):
+                gp, gd = PP.pool_automata_pallas_mega(
+                    h, p, iterations=2, drain_particles=True, block=block,
+                    phases_per_launch=ppl)
+                np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
+                np.testing.assert_array_equal(np.asarray(gd), np.asarray(wd))
+
+    def test_mega_kernel_below_gate_skips_bit_exact(self):
+        """The mega kernel keeps the same call-level wetness gate as the
+        pair-fused kernel: a below-gate pool returns bit-identical with
+        zero drains without launching the grid."""
+        from jax.experimental.pallas import tpu as pltpu
+        from noize_tpu.erosion import pool as PO
+        from noize_tpu.erosion import pool_pallas as PP
+
+        res = 32
+        rng = np.random.default_rng(52)
+        h = jnp.asarray(rng.uniform(0, 0.5, (res, res)).astype(np.float32))
+        p_dry = jnp.asarray(
+            rng.uniform(0, PO.MIN_WATER * 0.99,
+                        (res, res)).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            gp, gd = PP.pool_automata_pallas_mega(
+                h, p_dry, iterations=2, drain_particles=True, block=8,
+                phases_per_launch=4)
+        np.testing.assert_array_equal(np.asarray(gp), np.asarray(p_dry))
+        assert float(np.abs(np.asarray(gd)).sum()) == 0.0
+
     def test_pair_kernel_sparse_water(self):
         """Sparse water (the production shape — pools sit in basins):
         results must match the XLA path exactly."""
