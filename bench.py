@@ -77,6 +77,61 @@ def _measure_rtt(pings: int = 5):
     return max(min(walls), 1.0)
 
 
+def _chained_min_wall(body_fn, reps, n_walls=3, seed0=2):
+    """Min wall over ``n_walls`` executions of a ``reps``-chained scan
+    (same one-jit chained-scalar shape as `_time_chained`).  Returns
+    ``(min_wall_ms, walls_ms, first_call_s)`` — ``first_call_s`` is the
+    first-call wall, i.e. compile PLUS one warm execution (near zero when
+    the compilation cache hits), not pure compile time."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(key):
+        def step(carry, k):
+            return carry + body_fn(k), None
+        total, _ = jax.lax.scan(step, jnp.float32(0.0),
+                                jax.random.split(key, reps))
+        return total
+
+    t0 = time.perf_counter()
+    float(run(jax.random.PRNGKey(seed0 - 1)))
+    first_call_s = time.perf_counter() - t0
+    walls = []
+    for seed in range(seed0, seed0 + n_walls):
+        t0 = time.perf_counter()
+        float(run(jax.random.PRNGKey(seed)))
+        walls.append((time.perf_counter() - t0) * 1e3)
+    return min(walls), walls, first_call_s
+
+
+def _time_slope(body_fn, reps_list=(2, 8), n_walls=3):
+    """Slope-method timing for probe A/Bs: min walls at several chain
+    lengths; per-call cost = (wall(hi) − wall(lo)) / (hi − lo), which
+    cancels the fixed dispatch overhead WITHOUT an RTT estimate.  Use
+    when comparing two kernels whose delta is smaller than the RTT
+    jitter `_time_chained` subtracts; the headline bench entries keep
+    the RTT-subtract method (one long chain uses the session better).
+    Returns a dict with per-reps min walls, all walls, first-call
+    times, and every pairwise slope."""
+    mins, walls, firsts = {}, {}, {}
+    for reps in reps_list:
+        m, w, f = _chained_min_wall(body_fn, reps, n_walls=n_walls)
+        mins[reps], walls[reps], firsts[reps] = m, w, f
+    rl = sorted(reps_list)
+    slopes = {
+        f"slope_{hi}_{lo}": round((mins[hi] - mins[lo]) / (hi - lo), 3)
+        for i, lo in enumerate(rl) for hi in rl[i + 1:]
+    }
+    return {
+        "min_walls_ms": {str(k): round(v, 1) for k, v in mins.items()},
+        "walls_ms": {str(k): [round(x, 1) for x in v]
+                     for k, v in walls.items()},
+        "first_call_s": {str(k): round(v, 1) for k, v in firsts.items()},
+        **slopes,
+    }
+
+
 def _time_chained(body_fn, reps: int = 4, rtt_ms: float = None,
                   with_cost: bool = False, with_floor: bool = False):
     """Ground-truth device timing: scan ``reps`` executions of ``body_fn``

@@ -18,7 +18,6 @@ p[0,0]+d.sum(), 10 iterations), slope method ((w8-w2)/6):
 """
 import json
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -28,46 +27,24 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/noize_tpu_jax_cache")
 
 import jax.numpy as jnp
 
-from bench import _measure_rtt
+from bench import _measure_rtt, _time_slope
 from noize_tpu.erosion import pool_pallas as PP
 from noize_tpu.ops.fractal import fractal
 
 RES = 2048
 
 
-def chained(body, reps):
-    @jax.jit
-    def run(key):
-        def step(carry, k):
-            return carry + body(k), None
-        total, _ = jax.lax.scan(step, jnp.float32(0.0),
-                                jax.random.split(key, reps))
-        return total
-    t0 = time.perf_counter()
-    float(run(jax.random.PRNGKey(1)))
-    compile_s = time.perf_counter() - t0
-    walls = []
-    for seed in (2, 3, 4):
-        t0 = time.perf_counter()
-        float(run(jax.random.PRNGKey(seed)))
-        walls.append((time.perf_counter() - t0) * 1e3)
-    return min(walls), walls, compile_s
-
-
 def measure(name, body):
     try:
-        w2, _, cs2 = chained(body, 2)
-        w8, walls8, cs8 = chained(body, 8)
+        r = _time_slope(body, reps_list=(2, 8), n_walls=3)
+        w8 = r["min_walls_ms"]["8"]
         rtt = _measure_rtt()
         print(json.dumps({
             "probe": name,
-            "slope_ms_per_call": round((w8 - w2) / 6.0, 3),
+            "slope_ms_per_call": r["slope_8_2"],
             "std_method_reps8_ms": round(max(w8 - rtt, w8 * 0.2) / 8.0, 3),
-            "min_wall_reps2_ms": round(w2, 1),
-            "min_wall_reps8_ms": round(w8, 1),
-            "walls_reps8": [round(w, 1) for w in walls8],
             "live_rtt_ms": round(rtt, 1),
-            "compile_s": [round(cs2, 1), round(cs8, 1)],
+            **r,
         }), flush=True)
     except Exception as e:
         print(json.dumps({"probe": name,

@@ -4,7 +4,6 @@ slope said mega -0.6 ms, reps-8 walls said equal).  reps {2,8,32},
 which cancels fixed overhead with 5x the signal of (w8-w2)/6."""
 import json
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -14,27 +13,11 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/noize_tpu_jax_cache")
 
 import jax.numpy as jnp
 
+from bench import _time_slope
 from noize_tpu.erosion import pool_pallas as PP
 from noize_tpu.ops.fractal import fractal
 
 RES = 2048
-
-
-def chained(body, reps, n_walls=5):
-    @jax.jit
-    def run(key):
-        def step(carry, k):
-            return carry + body(k), None
-        total, _ = jax.lax.scan(step, jnp.float32(0.0),
-                                jax.random.split(key, reps))
-        return total
-    float(run(jax.random.PRNGKey(1)))
-    walls = []
-    for seed in range(2, 2 + n_walls):
-        t0 = time.perf_counter()
-        float(run(jax.random.PRNGKey(seed)))
-        walls.append((time.perf_counter() - t0) * 1e3)
-    return min(walls), walls
 
 
 def main():
@@ -59,19 +42,8 @@ def main():
         return p[0, 0] + d.sum()
 
     for name, body in (("prod_pair", pair_body), ("mega", mega_body)):
-        mins, allw = {}, {}
-        for reps in (2, 8, 32):
-            m, walls = chained(body, reps)
-            mins[reps] = m
-            allw[reps] = [round(w, 1) for w in walls]
-        print(json.dumps({
-            "probe": name,
-            "slope_32_2": round((mins[32] - mins[2]) / 30.0, 3),
-            "slope_32_8": round((mins[32] - mins[8]) / 24.0, 3),
-            "slope_8_2": round((mins[8] - mins[2]) / 6.0, 3),
-            "min_walls": {str(k): round(v, 1) for k, v in mins.items()},
-            "walls": allw,
-        }), flush=True)
+        r = _time_slope(body, reps_list=(2, 8, 32), n_walls=5)
+        print(json.dumps({"probe": name, **r}), flush=True)
 
 
 if __name__ == "__main__":
