@@ -472,6 +472,13 @@ def main():
             return p[0, 0] + d.sum()
 
         _phase("pool_automata_x10_pair_sparse", pool_sparse_body)
+        # single-launch mega kernel: the whole ×10 automata as ONE pallas
+        # grid (launch-overhead fit L≈0.17 ms × 10 launches is the prize;
+        # see scripts/probe_pool_mega.py for the on-chip A/B ladder)
+        _phase("pool_automata_x10_mega", pool_body(
+            lambda h, p: POOLP.pool_automata_pallas_mega(
+                h, p, iterations=es_b.WATER_STEPS, drain_particles=True,
+                block=256, phases_per_launch=4)))
 
     from noize_tpu.ops.thermal import thermal_erosion
 
@@ -650,6 +657,56 @@ def main():
         entry.update(floor)
         return entry
     _safe(results, "interactive_cycle_1024", _ci)
+
+    # --- steady-state erosion at 2048²: state CARRIED across cycles --------
+    # The flagship headline is a cold-start step (its 3 pool calls gate
+    # off bit-exactly — see structural_floor.flagship_pool_gate).  A
+    # long-running LiveErosion session accumulates water, so this entry
+    # chains K cycles on ONE evolving state and reports the per-cycle
+    # cost at the evolved shape, plus which cycles actually ran a wet
+    # pool (an 8-flag readback — the honest answer to "is the gate a
+    # cold-start artifact?").  Reference: LiveErosion.cs:378-436 steady
+    # operation between editor commits.
+    def _cst():
+        from noize_tpu.erosion import pool as _POOL
+
+        K = 8
+
+        @jax.jit
+        def chained(key):
+            st0 = init_state(hb, key)
+
+            def body(carry, k):
+                st, acc = carry
+                wet = jnp.any(st.world.pool >= _POOL.MIN_WATER)
+                st = erosion_cycle(st, es_b, meta_b)
+                acc = acc + st.world.height.sum() + st.world.pool.sum()
+                return (st, acc), wet
+
+            (st, total), wets = jax.lax.scan(
+                body, (st0, jnp.float32(0.0)), jax.random.split(key, K))
+            return total, wets
+
+        t, wets = chained(jax.random.PRNGKey(21))  # warmup
+        float(t)
+        wet_flags = [bool(x) for x in np.asarray(jax.device_get(wets))]
+        walls = []
+        for seed in (22, 23):
+            t0 = time.perf_counter()
+            t, _ = chained(jax.random.PRNGKey(seed))
+            float(t)
+            walls.append((time.perf_counter() - t0) * 1e3)
+        wall = min(walls)
+        rtt = _measure_rtt()
+        return {
+            "ms_per_cycle": round(max(wall - rtt, wall * 0.5) / K, 3),
+            "cycles_chained": K,
+            "wet_pool_cycles": wet_flags,
+            "n_wet": int(sum(wet_flags)),
+            "rtt_ms_used": round(rtt, 2),
+            "resolution": rb,
+        }
+    _safe(results, "erosion_steady_2048", _cst)
 
     # --- live-retune latency: a param tweak between steps must reuse the
     # compiled cycle (erosion/params.py TUNABLE_FIELDS split) — through the

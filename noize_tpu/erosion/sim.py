@@ -53,8 +53,9 @@ _F32 = jnp.float32
 def _gated_pool(iterations: int, drain_particles: bool):
     """Pool-automata dispatch with a BATCH-level wetness gate.
 
-    Unbatched, this is exactly the kernel ladder below (pallas pair-fused
-    on TPU at production sizes, XLA half-row path elsewhere), whose
+    Unbatched, this is exactly the kernel ladder below (single-launch
+    pallas mega kernel on TPU at production sizes, XLA half-row path
+    elsewhere), whose
     internal call-level gates already skip below-gate-dry grids bit-exactly
     (see pool.MIN_WATER).  Under ``vmap`` (the tile_batch serving path)
     those internal ``lax.cond`` gates degrade to ``select`` — both branches
@@ -71,23 +72,26 @@ def _gated_pool(iterations: int, drain_particles: bool):
     def raw(height, pool):
         res = height.shape[0]
         if jax.default_backend() == "tpu" and res % 256 == 0:
-            from .pool_pallas import pool_automata_pallas_pair_fused
-
             n_ph = 4 * iterations
             r2 = res // 2
-            # measured ladder (BENCH_HISTORY r4 slopes): ppl4/b256 6.78 <
-            # ppl8/b128 7.29 < ppl4/b128 7.51; ppl8/b256 fails Mosaic.
-            # Wider blocks cut the mandatory halo recompute share; ppl8
-            # only pays at narrow blocks where launch/DMA overhead
-            # dominates.
+            # measured ladder (BENCH_HISTORY r4/r5 slopes): the
+            # single-launch MEGA kernel (whole ×iterations automata as one
+            # pallas grid) beats the per-group pair-fused launches in a
+            # same-session A/B — 6.26 vs 6.64 ms/call at 2048²
+            # (scripts/probe_pool_mega.py, round 5; bit-exact on chip).
+            # Geometry mirrors the pair-fused ladder: wide blocks cut the
+            # mandatory halo recompute share (b256/ppl4 ≈ b128/ppl8 for
+            # mega); b256/ppl8 fails the Mosaic compile.
+            from .pool_pallas import pool_automata_pallas_mega
+
             if r2 % 256 == 0:
                 blk, ppl = 256, 4
             else:
                 blk, ppl = 128, 8 if n_ph % 8 == 0 else 4
-            return pool_automata_pallas_pair_fused(
+            return pool_automata_pallas_mega(
                 height, pool, iterations=iterations,
                 drain_particles=drain_particles, block=blk,
-                phases_per_launch=ppl, unroll=True,
+                phases_per_launch=ppl,
             )
         return pool_automata(
             height, pool, iterations=iterations,
