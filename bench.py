@@ -584,7 +584,11 @@ def main():
 
     gather_fixed_ms = 0.135
     d_meas = _got("descent_scan")
-    p_meas = _got("pool_automata_x10_pair_fused") or _got("pool_automata_x10")
+    # production pool kernel first (sim._gated_pool routes through the
+    # single-launch mega kernel since round 5), then the A/B references
+    p_meas = (_got("pool_automata_x10_mega")
+              or _got("pool_automata_x10_pair_fused")
+              or _got("pool_automata_x10"))
     pool_compute_bound = round(40 * 0.1286, 2)            # 5.14
     pool_floor = round(40 * 0.1286 * 1.25, 2)             # 6.43
     structural = {
