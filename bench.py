@@ -669,48 +669,63 @@ def main():
     # chains K cycles on ONE evolving state and reports the per-cycle
     # cost at the evolved shape, plus which cycles actually ran a wet
     # pool (an 8-flag readback — the honest answer to "is the gate a
-    # cold-start artifact?").  Reference: LiveErosion.cs:378-436 steady
-    # operation between editor commits.
-    def _cst():
-        from noize_tpu.erosion import pool as _POOL
+    # cold-start artifact?").  Measured at the flagship 2048² shape (dry
+    # steady state — deposits never reach the 1e-3/cell activity gate at
+    # that density) AND at the interactive 1024² shape (denser deposits
+    # wet the pool, so the wet-path mega kernel runs in production
+    # context).  Reference: LiveErosion.cs:378-436 steady operation
+    # between editor commits.
+    def _make_steady(res_s, h_s, meta_s):
+        def _cst():
+            from noize_tpu.erosion import pool as _POOL
 
-        K = 8
+            K = 8
 
-        @jax.jit
-        def chained(key):
-            st0 = init_state(hb, key)
+            @jax.jit
+            def chained(key):
+                st0 = init_state(h_s, key)
 
-            def body(carry, k):
-                st, acc = carry
-                wet = jnp.any(st.world.pool >= _POOL.MIN_WATER)
-                st = erosion_cycle(st, es_b, meta_b)
-                acc = acc + st.world.height.sum() + st.world.pool.sum()
-                return (st, acc), wet
+                def body(carry, k):
+                    st, acc = carry
+                    wet = jnp.any(st.world.pool >= _POOL.MIN_WATER)
+                    st = erosion_cycle(st, es_b, meta_s)
+                    acc = acc + st.world.height.sum() + st.world.pool.sum()
+                    return (st, acc), wet
 
-            (st, total), wets = jax.lax.scan(
-                body, (st0, jnp.float32(0.0)), jax.random.split(key, K))
-            return total, wets
+                (st, total), wets = jax.lax.scan(
+                    body, (st0, jnp.float32(0.0)), jax.random.split(key, K))
+                return total, wets
 
-        t, wets = chained(jax.random.PRNGKey(21))  # warmup
-        float(t)
-        wet_flags = [bool(x) for x in np.asarray(jax.device_get(wets))]
-        walls = []
-        for seed in (22, 23):
-            t0 = time.perf_counter()
-            t, _ = chained(jax.random.PRNGKey(seed))
+            t, wets = chained(jax.random.PRNGKey(21))  # warmup
             float(t)
-            walls.append((time.perf_counter() - t0) * 1e3)
-        wall = min(walls)
-        rtt = _measure_rtt()
-        return {
-            "ms_per_cycle": round(max(wall - rtt, wall * 0.5) / K, 3),
-            "cycles_chained": K,
-            "wet_pool_cycles": wet_flags,
-            "n_wet": int(sum(wet_flags)),
-            "rtt_ms_used": round(rtt, 2),
-            "resolution": rb,
-        }
-    _safe(results, "erosion_steady_2048", _cst)
+            wet_flags = [bool(x) for x in np.asarray(jax.device_get(wets))]
+            walls = []
+            for seed in (22, 23):
+                t0 = time.perf_counter()
+                t, _ = chained(jax.random.PRNGKey(seed))
+                float(t)
+                walls.append((time.perf_counter() - t0) * 1e3)
+            wall = min(walls)
+            rtt = _measure_rtt()
+            return {
+                "ms_per_cycle": round(max(wall - rtt, wall * 0.5) / K, 3),
+                "cycles_chained": K,
+                "wet_pool_cycles": wet_flags,
+                "n_wet": int(sum(wet_flags)),
+                "rtt_ms_used": round(rtt, 2),
+                "resolution": res_s,
+            }
+        return _cst
+
+    _safe(results, "erosion_steady_2048", _make_steady(rb, hb, meta_b))
+    ri_s = 256 if fast else 1024
+    meta_i_s = TileSetMeta(
+        tile_res=ri_s - 2 * margin, tile_size=ri_s - 2 * margin,
+        generator_res=ri_s, height=1000, margin=margin)
+    hi_s = jax.block_until_ready(jax.jit(
+        lambda: fractal(ri_s, 3, 0, noise_type="Simplex", octaves=13,
+                        hurst=0.4, noise_size=1700.0))())
+    _safe(results, "erosion_steady_1024", _make_steady(ri_s, hi_s, meta_i_s))
 
     # --- live-retune latency: a param tweak between steps must reuse the
     # compiled cycle (erosion/params.py TUNABLE_FIELDS split) — through the
