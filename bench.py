@@ -870,13 +870,16 @@ def main():
         generator_res=res, height=1000, margin=margin,
     ).validate()
     settings = ErosionSettings()  # reference defaults: 1000 particles, MAXAGE 100
-    # Mesh layout: pick the faster emission from the measured phase
-    # entries (planes is the TPU-native choice — see ops.mesh.MeshPlanes —
-    # but the decision stays data-driven and is recorded in the entry)
+    # Mesh layout: planes is the TPU-native default (component-major
+    # [12,R+1,R+1] — lane-efficient, see ops.mesh.MeshPlanes; the honest
+    # r4 A/B read planes 0.742 vs arrays-all-fields 0.860, and both
+    # entries are floor_bound at 2048² so per-session jitter must not
+    # flip the choice).  Arrays only wins the flagship if it measures
+    # CLEARLY faster this session.
     mesh_arr_ms = _got("mesh")
     mesh_pl_ms = _got("mesh_planes")
-    flag_layout = ("planes" if mesh_arr_ms and mesh_pl_ms
-                   and mesh_pl_ms < 0.95 * mesh_arr_ms else "arrays")
+    flag_layout = ("arrays" if mesh_arr_ms and mesh_pl_ms
+                   and mesh_arr_ms < 0.95 * mesh_pl_ms else "planes")
     step, _, _ = make_tile_step(
         meta, settings,
         octaves=13, blur_iterations=17, flow_iterations=8,
