@@ -74,24 +74,38 @@ def _gated_pool(iterations: int, drain_particles: bool):
         if jax.default_backend() == "tpu" and res % 256 == 0:
             n_ph = 4 * iterations
             r2 = res // 2
-            # measured ladder (BENCH_HISTORY r4/r5 slopes): the
-            # single-launch MEGA kernel (whole ×iterations automata as one
-            # pallas grid) beats the per-group pair-fused launches in a
-            # same-session A/B — 6.26 vs 6.64 ms/call at 2048²
-            # (scripts/probe_pool_mega.py, round 5; bit-exact on chip).
-            # Geometry mirrors the pair-fused ladder: wide blocks cut the
-            # mandatory halo recompute share (b256/ppl4 ≈ b128/ppl8 for
-            # mega); b256/ppl8 fails the Mosaic compile.
-            from .pool_pallas import pool_automata_pallas_mega
+            # Measured kernel ladder (BENCH_HISTORY r5 slopes;
+            # scripts/probe_pool_mega.py + probe_mega_sizes.py, all
+            # bit-exact on chip):
+            #   1024²: pair-fused b256/ppl4 1.25 < mega 1.60 ms/call —
+            #          per-group launches win when the whole call is
+            #          ~1 ms (the mega cross-group ping-pong serializes
+            #          more than the saved launches cost);
+            #   2048²: mega b256/ppl4 6.26 < pair 6.64;
+            #   4096²: mega b128 is the ONLY kernel the TPU compile
+            #          accepts (pair b256/b128 and mega b256 all fail) —
+            #          a 2.5 MB/window cap reproduces the working
+            #          geometry at each width while keeping b256 at 2048.
+            if res >= 2048:
+                from ..ops.pallas.blocks import pick_block
+                from .pool_pallas import pool_automata_pallas_mega
+
+                blk = pick_block(r2, 8, cols=res, cap_bytes=2_500_000)
+                return pool_automata_pallas_mega(
+                    height, pool, iterations=iterations,
+                    drain_particles=drain_particles, block=blk,
+                    phases_per_launch=4,
+                )
+            from .pool_pallas import pool_automata_pallas_pair_fused
 
             if r2 % 256 == 0:
                 blk, ppl = 256, 4
             else:
                 blk, ppl = 128, 8 if n_ph % 8 == 0 else 4
-            return pool_automata_pallas_mega(
+            return pool_automata_pallas_pair_fused(
                 height, pool, iterations=iterations,
                 drain_particles=drain_particles, block=blk,
-                phases_per_launch=ppl,
+                phases_per_launch=ppl, unroll=True,
             )
         return pool_automata(
             height, pool, iterations=iterations,
