@@ -49,6 +49,38 @@ from .world import WorldState, update_flow_from_track, curvature_map
 _F32 = jnp.float32
 
 
+def _pool_kernel_plan(res: int, iterations: int, on_tpu: bool):
+    """Measured pool-kernel ladder (BENCH_HISTORY r5 slopes;
+    scripts/probe_pool_mega.py + probe_mega_sizes.py + probe_mega_4096.py,
+    every rung bit-exact on chip):
+
+      1024²: pair-fused b256/ppl4 1.25 < mega 1.60 ms/call — per-group
+             launches win when the whole call is ~1 ms (the mega
+             cross-group ping-pong serializes more than the saved
+             launches cost);
+      2048²: mega b256/ppl4 6.26 < pair 6.64;
+      4096²: mega b128 is the ONLY kernel the TPU compile accepts
+             (pair b256/b128 and mega b256 all fail) and runs 4× the
+             XLA path (29.8 vs 119.5) — a 2.5 MB/window cap reproduces
+             the working geometry at each width while keeping b256 at
+             2048.
+
+    Returns ``("mega"|"pair"|"xla", block, phases_per_launch)``; pure so
+    the ladder is unit-testable on CPU (the kernels themselves are
+    TPU-only)."""
+    if not on_tpu or res % 256 != 0:
+        return ("xla", None, None)
+    n_ph = 4 * iterations
+    r2 = res // 2
+    if res >= 2048:
+        from ..ops.pallas.blocks import pick_block
+
+        return ("mega", pick_block(r2, 8, cols=res, cap_bytes=2_500_000), 4)
+    if r2 % 256 == 0:
+        return ("pair", 256, 4)
+    return ("pair", 128, 8 if n_ph % 8 == 0 else 4)
+
+
 @lru_cache(maxsize=None)
 def _gated_pool(iterations: int, drain_particles: bool):
     """Pool-automata dispatch with a BATCH-level wetness gate.
@@ -70,38 +102,19 @@ def _gated_pool(iterations: int, drain_particles: bool):
     (LiveErosionDataTypes.cs:972)."""
 
     def raw(height, pool):
-        res = height.shape[0]
-        if jax.default_backend() == "tpu" and res % 256 == 0:
-            n_ph = 4 * iterations
-            r2 = res // 2
-            # Measured kernel ladder (BENCH_HISTORY r5 slopes;
-            # scripts/probe_pool_mega.py + probe_mega_sizes.py, all
-            # bit-exact on chip):
-            #   1024²: pair-fused b256/ppl4 1.25 < mega 1.60 ms/call —
-            #          per-group launches win when the whole call is
-            #          ~1 ms (the mega cross-group ping-pong serializes
-            #          more than the saved launches cost);
-            #   2048²: mega b256/ppl4 6.26 < pair 6.64;
-            #   4096²: mega b128 is the ONLY kernel the TPU compile
-            #          accepts (pair b256/b128 and mega b256 all fail) —
-            #          a 2.5 MB/window cap reproduces the working
-            #          geometry at each width while keeping b256 at 2048.
-            if res >= 2048:
-                from ..ops.pallas.blocks import pick_block
-                from .pool_pallas import pool_automata_pallas_mega
+        kind, blk, ppl = _pool_kernel_plan(
+            height.shape[0], iterations, jax.default_backend() == "tpu")
+        if kind == "mega":
+            from .pool_pallas import pool_automata_pallas_mega
 
-                blk = pick_block(r2, 8, cols=res, cap_bytes=2_500_000)
-                return pool_automata_pallas_mega(
-                    height, pool, iterations=iterations,
-                    drain_particles=drain_particles, block=blk,
-                    phases_per_launch=4,
-                )
+            return pool_automata_pallas_mega(
+                height, pool, iterations=iterations,
+                drain_particles=drain_particles, block=blk,
+                phases_per_launch=ppl,
+            )
+        if kind == "pair":
             from .pool_pallas import pool_automata_pallas_pair_fused
 
-            if r2 % 256 == 0:
-                blk, ppl = 256, 4
-            else:
-                blk, ppl = 128, 8 if n_ph % 8 == 0 else 4
             return pool_automata_pallas_pair_fused(
                 height, pool, iterations=iterations,
                 drain_particles=drain_particles, block=blk,
