@@ -18,6 +18,13 @@ import numpy as np
 # CPU smoke test (tests/test_examples.py) without changing its structure
 FAST = os.environ.get("NOIZE_EXAMPLE_FAST") not in (None, "", "0")
 
+# Persistent compile cache: remote TPU compiles cost minutes per process —
+# without this every example invocation re-pays them (measured: the
+# serving example's first batch was ~140 s compile, ~15 ms compute)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/noize_tpu_jax_cache"))
+
 from noize_tpu.core.tiles import TileSetMeta
 from noize_tpu.erosion.params import ErosionSettings
 from noize_tpu.parallel import device_mesh as DM

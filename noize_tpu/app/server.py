@@ -1,11 +1,14 @@
 """TileServer — batched streaming tile generation for production serving.
 
 The reference's MeshTileGenerator serves one tile per frame from its work
-queue (MeshTileGenerator.cs:125-138).  On TPU the economics invert: a
-vmapped batch of B tiles costs barely more than one (the per-step fixed
-costs — gather ops, kernel launches — amortize across the batch; measured
-~7 ms/tile for 16×1024² tiles including erosion vs ~95 ms for one).  The
-server therefore collects requests into batches, dispatches them
+queue (MeshTileGenerator.cs:125-138).  Here a batch of B tiles runs as
+ONE device program under the hybrid lowering (vmap field stages,
+lax.map erosion — BENCH_HISTORY round 4): at batch 4 the per-tile
+compute EQUALS the solo cost (1.79 ms/tile at the config-5 shape), so
+batching amortizes the per-dispatch overhead (ms-scale locally, ~30 ms
+through a tunnel) 4× for free; past ~16 the blur chain's shallower XLA
+fusion degrades per-tile cost, so scale beyond 4 with the dp mesh axis
+instead.  The server collects requests into batches, dispatches them
 asynchronously (dispatch N+1 overlaps device work on batch N), and
 delivers per-tile results through callbacks.
 
