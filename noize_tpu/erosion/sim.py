@@ -58,6 +58,9 @@ def _pool_kernel_plan(res: int, iterations: int, on_tpu: bool):
              launches win when the whole call is ~1 ms (the mega
              cross-group ping-pong serializes more than the saved
              launches cost);
+      1536²: pair-fused b128/ppl8 2.91 < mega b128/ppl4 3.83 — the
+             crossover is bracketed between 1536 and 2048, measured on
+             both sides (probe_pool_1536);
       2048²: mega b256/ppl4 6.26 < pair 6.64;
       4096²: mega b128 is the ONLY kernel the TPU compile accepts
              (pair b256/b128 and mega b256 all fail) and runs 4× the
